@@ -1,0 +1,307 @@
+"""Typed configuration dataclasses for every workload.
+
+The reference has no config system at all -- hyperparameters are literals in
+``src/main.cpp:109-166``, shader ``#define``s and UBO fields (SURVEY.md §5).
+Here every tunable is a frozen dataclass field; the five BASELINE.json configs
+are exposed as preset constructors at the bottom.
+
+All defaults mirror the reference's values, with the "quirks" (known reference
+bugs, SURVEY.md §2) FIXED by default and re-enableable through
+:class:`QuirkFlags` for bit-fidelity experiments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class QuirkFlags:
+    """Opt-in reproductions of reference bugs (SURVEY.md §2 'quirks').
+
+    Each flag defaults to False = fixed math. Set True to reproduce the
+    reference's exact (buggy) behaviour.
+    """
+
+    # MRHE trilinear lerp factors use world-pos minus grid-space corner
+    # (reference nrc-train.comp:312) instead of the fixed resPos - floorPos.
+    world_space_lerp: bool = False
+    # BackpropMrhe reads feature-0's error for both features
+    # (reference nrc-train.comp:960).
+    duplicated_feature_grad: bool = False
+    # One-blob evaluates N(i; x, 1/4) with x in [0,1] and i in 0..15 so only
+    # the first bins ever fire (reference nrc-train.comp:352-365); the fixed
+    # version evaluates N(i; K*x, K/4) spreading support over all bins, and
+    # maps phi to [0,1] instead of the reference's [0.5, 1.5].
+    raw_oneblob: bool = False
+    # Density volume quantized to 8 bits on upload (reference Texture3D.cpp:32).
+    quantize_density_8bit: bool = False
+    # Env-map importance sample direction uses the reference's non-normalized
+    # sin(theta*pi)*(cos, 1, sin) formula (nrc-forward.frag:736) instead of
+    # the correct spherical direction.
+    raw_envmap_dir: bool = False
+
+
+@dataclass(frozen=True)
+class MLPConfig:
+    """The radiance-cache MLP: 64->64 x5 -> 3, ReLU everywhere (incl. output).
+
+    Mirrors reference NeuralRadianceCache.cpp:412-426 (weight shapes) and
+    nrc-forward.frag:482-489 (output ReLU). Weight init N(0,1)*0.01
+    (NeuralRadianceCache.cpp:629-645); biases zero (the reference never
+    initializes them -- quirk #1 fixed here, `// TODO: init biases`
+    NeuralRadianceCache.cpp:699).
+    """
+
+    in_features: int = 64
+    hidden: int = 64
+    out_features: int = 3
+    n_layers: int = 6  # 5 hidden matmuls + 1 output matmul
+    weight_init_std: float = 0.01
+    output_relu: bool = True
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Momentum-SGD with the reference's NaN/clip guard.
+
+    Semantics of nrc-step.comp:205-236: m = (1-b1)*(guard(-g) - wd*w) + b1*m;
+    w += lr*m; non-finite or |w|>1000 weights reset to 0.
+    Defaults: lr=0.001, wd=0, beta1=0.5 (src/main.cpp:156).
+    """
+
+    learning_rate: float = 0.001
+    weight_decay: float = 0.0
+    beta1: float = 0.5
+    clip_border: float = 1000.0
+    reset_border: float = 1000.0
+
+
+@dataclass(frozen=True)
+class MRHEConfig:
+    """Multiresolution hash encoding (Instant-NGP style).
+
+    L=16 levels, T=16384 entries, F=2 features, Nmin=16, Nmax=512 with a
+    geometric resolution schedule (reference MRHE.cpp:80-121); init
+    N(0,1)*0.1 (MRHE.cpp:127-144); plain-SGD optimizer lr=0.01
+    (src/main.cpp:157) with clip border 100 (mrhe-step.comp:34).
+    """
+
+    n_levels: int = 16
+    table_size: int = 16384
+    n_features: int = 2
+    min_res: int = 16
+    max_res: int = 512
+    init_std: float = 0.1
+    learning_rate: float = 0.01
+    weight_decay: float = 0.0
+    clip_border: float = 100.0
+    reset_border: float = 1000.0
+    n_dims: int = 3  # 3 for volume positions, 2 for image fit
+
+    @property
+    def n_outputs(self) -> int:
+        return self.n_levels * self.n_features
+
+
+@dataclass(frozen=True)
+class OneBlobConfig:
+    """One-blob direction encoding: 16 Gaussian bins each for theta and phi.
+
+    Reference nrc-train.comp:352-365 (sigma = 1/4).
+    """
+
+    n_bins: int = 16
+    sigma: float = 0.25
+
+    @property
+    def n_outputs(self) -> int:
+        return 2 * self.n_bins
+
+
+@dataclass(frozen=True)
+class VolumeConfig:
+    """The density volume and its world-space AABB.
+
+    The reference volume is 125x85x153 raw fp32 (src/main.cpp:123) in a box of
+    full size (125,85,153)/2 centered at the origin (skySize const,
+    nrc-train.comp:212 + sky_sdf :368-372), i.e. 0.5 world units per voxel.
+    densityFactor/g defaults from VolumeData.cpp:82-89.
+    """
+
+    grid_shape: Tuple[int, int, int] = (125, 85, 153)  # (x, y, z) voxels
+    box_size: Tuple[float, float, float] = (62.5, 42.5, 76.5)
+    box_center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    density_factor: float = 0.4
+    hg_g: float = 0.7
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Perspective camera (GLM semantics: RH, depth -1..1).
+
+    Defaults from src/main.cpp:142-149: pos (0,0,-64), view +z, up +y,
+    fov 60 deg, near 0.1, far 100.
+    """
+
+    position: Tuple[float, float, float] = (0.0, 0.0, -64.0)
+    view_dir: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    fov_deg: float = 60.0
+    aspect: float = 1.0
+    near: float = 0.1
+    far: float = 100.0
+
+
+@dataclass(frozen=True)
+class DirLightConfig:
+    """Directional light (reference DirLight.cpp:5-14; default strength 0,
+    zenith -1.57, azimuth 0, white -- src/main.cpp:151)."""
+
+    zenith: float = -1.57
+    azimuth: float = 0.0
+    color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    strength: float = 0.0
+    enabled: bool = False  # static: compile the light path at all?
+
+
+@dataclass(frozen=True)
+class PointLightConfig:
+    """Point light (reference PointLight.cpp; default origin/white/strength 0,
+    src/main.cpp:152)."""
+
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    strength: float = 0.0
+    enabled: bool = False
+
+
+@dataclass(frozen=True)
+class EnvMapConfig:
+    """HDR environment map strengths (reference HdrEnvMap.cpp:108)."""
+
+    direct_strength: float = 1.0
+    hpm_strength: float = 8.0
+    # number of phase-sampled env rays per scatter vertex in the render pass
+    # (reference nrc-forward.frag:753 uses 8)
+    n_samples: int = 8
+    # steps of transmittance quadrature per env sample (nrc-forward.frag:721)
+    transmittance_steps: int = 16
+    # fraction of env samples drawn by inverse-CDF importance sampling.
+    # The reference declares a 50/50 split but its loop bound makes the
+    # CDF branch dead code (nrc-forward.frag:715 halfSampleCount==sampleCount);
+    # 0.0 reproduces that; 0.5 enables the two-strategy sampler for real.
+    cdf_fraction: float = 0.0
+
+
+@dataclass(frozen=True)
+class PathTraceConfig:
+    """Path-trace loop bounds (shader #defines).
+
+    Render pass: 32 vertices (nrc-forward.frag:757), transmittance 32 steps.
+    Train target: 64 vertices, 8 samples (nrc-train.comp:1122,1217).
+    """
+
+    max_bounces: int = 32
+    transmittance_steps: int = 32
+    # next-distance heuristic: U(0, 0.1 * dist_to_exit)
+    # (nrc-forward.frag:816, nrc-train.comp:1165)
+    step_fraction: float = 0.1
+    rr_decay: float = 0.5  # Russian-roulette survival decay per bounce
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Online NRC training (the nrc-train.comp dispatch)."""
+
+    train_width: int = 100
+    train_height: int = 100
+    target_samples: int = 8  # nrc-train.comp:1217
+    target_bounces: int = 64  # TRUE_TRACE_SAMPLE_COUNT nrc-train.comp:1122
+    target_clamp: float = 1024.0  # nrc-train.comp:987
+    # env light contribution in train targets. The reference's train-side
+    # TraceScene omits env sampling (nrc-train.comp:1116-1120 -- commented
+    # out), which with the default zero-strength dir/point lights makes all
+    # targets black. 0 reproduces that; >0 makes the cache learn env light.
+    env_samples: int = 8
+
+    @property
+    def n_rays(self) -> int:
+        return self.train_width * self.train_height
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 800
+    height: int = 800
+    spp: int = 1
+    use_nn: bool = True
+    show_non_nn: bool = False  # suppress cache term at RR cut (debug view)
+
+
+@dataclass(frozen=True)
+class NRCConfig:
+    """Everything needed to build and run the online NRC workload."""
+
+    mlp: MLPConfig = field(default_factory=MLPConfig)
+    mlp_opt: OptimizerConfig = field(default_factory=OptimizerConfig)
+    mrhe: MRHEConfig = field(default_factory=MRHEConfig)
+    oneblob: OneBlobConfig = field(default_factory=OneBlobConfig)
+    volume: VolumeConfig = field(default_factory=VolumeConfig)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    dir_light: DirLightConfig = field(default_factory=DirLightConfig)
+    point_light: PointLightConfig = field(default_factory=PointLightConfig)
+    env_map: EnvMapConfig = field(default_factory=EnvMapConfig)
+    path: PathTraceConfig = field(default_factory=PathTraceConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    quirks: QuirkFlags = field(default_factory=QuirkFlags)
+    seed: int = 0
+
+    def replace(self, **kw) -> "NRCConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# BASELINE.json preset configs
+# ---------------------------------------------------------------------------
+
+def mnist_config() -> "NRCConfig":
+    """Config 1: MNIST tiny-MLP supervised fit (CPU-runnable sanity loop)."""
+    return NRCConfig(
+        mlp=MLPConfig(in_features=784, hidden=64, out_features=10,
+                      output_relu=False),
+        mlp_opt=OptimizerConfig(learning_rate=0.05, beta1=0.5),
+    )
+
+
+def image_fit_config() -> "NRCConfig":
+    """Config 2: 2D image fit -- MRHE(2D) + tiny MLP regression."""
+    return NRCConfig(
+        mrhe=MRHEConfig(n_dims=2),
+        mlp_opt=OptimizerConfig(learning_rate=0.003),
+    )
+
+
+def pathtrace_config(width: int = 800, height: int = 800,
+                     spp: int = 1) -> "NRCConfig":
+    """Config 3: cloud volume path trace with the cache off."""
+    return NRCConfig(render=RenderConfig(width=width, height=height, spp=spp,
+                                         use_nn=False))
+
+
+def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
+    """Config 4: NRC online train+query in the render loop (the reference's
+    default workload, src/main.cpp:109-166)."""
+    return NRCConfig(render=RenderConfig(width=width, height=height,
+                                         use_nn=True))
+
+
+def progressive_1080p_config() -> "NRCConfig":
+    """Config 5: interactive 1080p progressive render with fly-through."""
+    return NRCConfig(
+        camera=CameraConfig(aspect=1920.0 / 1080.0),
+        render=RenderConfig(width=1920, height=1080, use_nn=True),
+    )

@@ -1,0 +1,172 @@
+"""Multiresolution hash encoding (Instant-NGP style MRHE).
+
+Reference: hash function (x*1 + y*19349663 + z*83492791) mod T
+(nrc-train.comp:254-260), geometric resolution schedule 16->512 over 16
+levels (MRHE.cpp:111-121), 2 features per entry trilinearly interpolated from
+the 8 cell corners (nrc-train.comp:266-339), gradients scatter-accumulated
+into a delta table with trilinear weights (BackpropMrhe, :947-983).
+
+TPU-native design: the per-thread 16x8 hash gathers become one batched
+``jnp.take`` over a (L*T, F) table -- XLA lowers this to a vectorized TPU
+gather. The reference's float-atomicAdd gradient accumulation becomes the
+gather's transpose, a scatter-add, expressed through a ``custom_vjp`` so the
+backward can (a) reproduce quirk #3 (feature-0's error applied to both
+features) on demand and (b) later be swapped for a sort+segment-sum Pallas
+kernel without touching callers.
+
+Works for n_dims=3 (volume positions) and n_dims=2 (image fit).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralradiancecaching_tpu.config import MRHEConfig, QuirkFlags
+
+# hash primes (nrc-train.comp:256); first prime 1 keeps x-adjacency linear
+HASH_PRIMES = (1, 19349663, 83492791)
+
+
+def resolutions(cfg: MRHEConfig) -> np.ndarray:
+    """Geometric level resolutions (MRHE.cpp:111-121): N_l = Nmin * b^l,
+    b = exp((ln Nmax - ln Nmin)/(L-1)), truncated to uint32."""
+    if cfg.n_levels == 1:
+        b = 1.0
+    else:
+        b = math.exp((math.log(cfg.max_res) - math.log(cfg.min_res))
+                     / (cfg.n_levels - 1))
+    res = [int(cfg.min_res * (b ** i)) for i in range(cfg.n_levels)]
+    return np.asarray(res, dtype=np.int32)
+
+
+def init_table(key: jax.Array, cfg: MRHEConfig,
+               dtype=jnp.float32) -> jnp.ndarray:
+    """(L, T, F) table, init N(0,1)*init_std (MRHE.cpp:127-144)."""
+    return (
+        jax.random.normal(key, (cfg.n_levels, cfg.table_size, cfg.n_features),
+                          dtype=dtype)
+        * cfg.init_std
+    )
+
+
+def _corner_offsets(n_dims: int) -> np.ndarray:
+    """(2^D, D) binary corner offsets, x-major like the reference's
+    (x*4 + y*2 + z) linearization (nrc-train.comp:281-289)."""
+    n = 1 << n_dims
+    out = np.zeros((n, n_dims), dtype=np.int32)
+    for i in range(n):
+        for d in range(n_dims):
+            out[i, d] = (i >> (n_dims - 1 - d)) & 1
+    return out
+
+
+def hash_coords(coords: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """Spatial hash of integer grid coords (..., D) -> (...,) in [0, T).
+
+    uint32 wraparound arithmetic matches the GLSL uvec math
+    (nrc-train.comp:254-260); negative coords wrap exactly like the
+    GLSL float->uint conversion of a floored value.
+    """
+    c = coords.astype(jnp.uint32)
+    h = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
+    for d in range(coords.shape[-1]):
+        h = h + c[..., d] * jnp.uint32(HASH_PRIMES[d])
+    if table_size & (table_size - 1) == 0:
+        return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+def _encode_prep(pos_norm: jnp.ndarray, cfg: MRHEConfig,
+                 quirks: QuirkFlags, pos_raw: jnp.ndarray | None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared forward/backward geometry.
+
+    Returns (flat_idx, weights):
+      flat_idx: (..., L, 2^D) int32 indices into the (L*T,) flattened table
+      weights:  (..., L, 2^D) trilinear interpolation weights
+    """
+    res = jnp.asarray(resolutions(cfg), dtype=pos_norm.dtype)  # (L,)
+    x = pos_norm[..., None, :] * res[:, None]  # (..., L, D)
+    x0 = jnp.floor(x)
+    if quirks.world_space_lerp:
+        # reference bug (nrc-train.comp:312): world pos minus grid corner
+        assert pos_raw is not None
+        frac = pos_raw[..., None, :] - x0
+    else:
+        frac = x - x0
+
+    offsets = jnp.asarray(_corner_offsets(cfg.n_dims))  # (2^D, D)
+    corners = x0[..., None, :].astype(jnp.int32) + offsets  # (..., L, 2^D, D)
+    idx = hash_coords(corners, cfg.table_size)  # (..., L, 2^D)
+
+    # per-corner weight: prod_d (offset_d ? frac_d : 1 - frac_d)
+    w = jnp.where(offsets.astype(bool), frac[..., None, :],
+                  1.0 - frac[..., None, :])  # (..., L, 2^D, D)
+    weights = jnp.prod(w, axis=-1)
+
+    level_base = (jnp.arange(cfg.n_levels, dtype=jnp.int32)
+                  * cfg.table_size)[:, None]  # (L, 1)
+    return idx + level_base, weights
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def encode(table: jnp.ndarray, pos_norm: jnp.ndarray, cfg: MRHEConfig,
+           quirks: QuirkFlags, pos_raw: jnp.ndarray | None = None
+           ) -> jnp.ndarray:
+    """Encode normalized positions.
+
+    Args:
+      table: (L, T, F) hash tables.
+      pos_norm: (..., D) positions, nominally in [0,1]^D.
+      pos_raw: unnormalized world positions, only consulted by the
+        ``world_space_lerp`` quirk.
+    Returns:
+      (..., L*F) features, level-major (mrheFeatures layout,
+      nrc-train.comp:336-337).
+    """
+    out, _ = _encode_fwd(table, pos_norm, cfg, quirks, pos_raw)
+    return out
+
+
+def _encode_fwd(table, pos_norm, cfg, quirks, pos_raw):
+    flat_idx, weights = _encode_prep(pos_norm, cfg, quirks, pos_raw)
+    flat_table = table.reshape(-1, cfg.n_features)  # (L*T, F)
+    gathered = jnp.take(flat_table, flat_idx, axis=0)  # (..., L, 2^D, F)
+    feats = jnp.sum(weights[..., None] * gathered, axis=-2)  # (..., L, F)
+    out = feats.reshape(*pos_norm.shape[:-1], cfg.n_levels * cfg.n_features)
+    return out, (flat_idx, weights, pos_norm.shape)
+
+
+def _encode_bwd(cfg, quirks, residuals, g):
+    flat_idx, weights, pos_shape = residuals
+    err = g.reshape(*pos_shape[:-1], cfg.n_levels, cfg.n_features)
+    if quirks.duplicated_feature_grad:
+        # reference bug (nrc-train.comp:960): feature 0's error drives
+        # every feature's table gradient
+        err = jnp.broadcast_to(err[..., :1], err.shape)
+    # scatter-add: d table[idx] += w * err  -- the TPU-native replacement for
+    # the reference's float atomicAdd into mrDeltaHashTable
+    contrib = weights[..., None] * err[..., None, :]  # (..., L, 2^D, F)
+    flat = jnp.zeros((cfg.n_levels * cfg.table_size, cfg.n_features),
+                     dtype=contrib.dtype)
+    flat = flat.at[flat_idx.reshape(-1)].add(
+        contrib.reshape(-1, cfg.n_features))
+    d_table = flat.reshape(cfg.n_levels, cfg.table_size, cfg.n_features)
+    # positions are not trained; raw-pos tangent likewise zero
+    return d_table, None, None
+
+
+encode.defvjp(_encode_fwd, _encode_bwd)
+
+
+def normalize_pos(pos: jnp.ndarray, box_size, box_center) -> jnp.ndarray:
+    """World position -> [0,1]^3 (EncodePosMrhe normPos, nrc-train.comp:268)."""
+    size = jnp.asarray(box_size, dtype=pos.dtype)
+    center = jnp.asarray(box_center, dtype=pos.dtype)
+    return (pos - center) / size + 0.5

@@ -1,0 +1,204 @@
+"""Unit tests for MRHE and one-blob encoders: hash golden values, resolution
+schedule, trilinear weights, gradient parity with autodiff, quirk flags."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralradiancecaching_tpu.config import (MRHEConfig, OneBlobConfig,
+                                              QuirkFlags)
+from neuralradiancecaching_tpu.ops import mrhe, oneblob
+
+FIXED = QuirkFlags()
+
+
+def test_resolution_schedule_matches_reference():
+    # MRHE.cpp:111-121 with L=16, 16..512: geometric, truncated to uint
+    cfg = MRHEConfig()
+    res = mrhe.resolutions(cfg)
+    assert res[0] == 16
+    assert res[-1] == 512
+    b = math.exp((math.log(512) - math.log(16)) / 15)
+    expected = [int(16 * b ** i) for i in range(16)]
+    np.testing.assert_array_equal(res, expected)
+    # strictly increasing
+    assert np.all(np.diff(res) > 0)
+
+
+def test_hash_golden_values():
+    # hand-computed: (x*1 + y*19349663 + z*83492791) mod 16384
+    coords = jnp.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                        [5, 7, 11]], dtype=jnp.int32)
+    got = np.asarray(mrhe.hash_coords(coords, 16384))
+    exp = [(x * 1 + y * 19349663 + z * 83492791) % 16384
+           for x, y, z in np.asarray(coords)]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_hash_negative_coords_wrap_like_uint32():
+    coords = jnp.array([[-1, -2, -3]], dtype=jnp.int32)
+    got = int(mrhe.hash_coords(coords, 16384)[0])
+    exp = (((-1) * 1 + (-2) * 19349663 + (-3) * 83492791) % (2 ** 32)) % 16384
+    assert got == exp
+
+
+def test_encode_trilerp_exact_on_small_table():
+    """With a table small enough to be collision-free at level 0, the encode
+    must reproduce hand-computed trilinear interpolation."""
+    cfg = MRHEConfig(n_levels=1, table_size=16384, n_features=2,
+                     min_res=2, max_res=2)
+    key = jax.random.PRNGKey(0)
+    table = mrhe.init_table(key, cfg)
+    pos = jnp.array([[0.25, 0.4, 0.6]])  # resPos = (0.5, 0.8, 1.2)
+    out = mrhe.encode(table, pos, cfg, FIXED)
+
+    # hand trilinear: floor=(0,0,1), frac=(0.5,0.8,0.2)
+    def h(x, y, z):
+        return (x + y * 19349663 + z * 83492791) % 16384
+
+    frac = np.array([0.5, 0.8, 0.2])
+    acc = np.zeros(2)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                w = ((frac[0] if cx else 1 - frac[0])
+                     * (frac[1] if cy else 1 - frac[1])
+                     * (frac[2] if cz else 1 - frac[2]))
+                acc += w * np.asarray(table[0, h(cx, cy, 1 + cz)])
+    np.testing.assert_allclose(np.asarray(out[0]), acc, rtol=1e-5)
+
+
+def test_encode_grad_matches_autodiff():
+    """The custom VJP's scatter-add must equal jax.grad of a pure-jnp
+    re-implementation (gather + weighted sum, no custom_vjp)."""
+    cfg = MRHEConfig(n_levels=4, table_size=64, n_features=2,
+                     min_res=2, max_res=8)
+    key = jax.random.PRNGKey(1)
+    table = mrhe.init_table(key, cfg)
+    pos = jax.random.uniform(jax.random.PRNGKey(2), (32, 3))
+
+    def loss_custom(t):
+        return jnp.sum(jnp.sin(mrhe.encode(t, pos, cfg, FIXED)))
+
+    def loss_plain(t):
+        flat_idx, weights = mrhe._encode_prep(pos, cfg, FIXED, None)
+        gathered = jnp.take(t.reshape(-1, cfg.n_features), flat_idx, axis=0)
+        feats = jnp.sum(weights[..., None] * gathered, axis=-2)
+        return jnp.sum(jnp.sin(feats.reshape(pos.shape[0], -1)))
+
+    g1 = jax.grad(loss_custom)(table)
+    g2 = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_encode_grad_finite_differences():
+    cfg = MRHEConfig(n_levels=2, table_size=32, n_features=2,
+                     min_res=2, max_res=4)
+    table = mrhe.init_table(jax.random.PRNGKey(3), cfg)
+    pos = jnp.array([[0.3, 0.7, 0.1], [0.9, 0.2, 0.5]])
+
+    def loss(t):
+        return jnp.sum(mrhe.encode(t, pos, cfg, FIXED) ** 2)
+
+    g = jax.grad(loss)(table)
+    eps = 1e-3
+    # probe a few entries
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        l = rng.integers(0, cfg.n_levels)
+        e = rng.integers(0, cfg.table_size)
+        f = rng.integers(0, cfg.n_features)
+        tp = table.at[l, e, f].add(eps)
+        tm = table.at[l, e, f].add(-eps)
+        fd = (loss(tp) - loss(tm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[l, e, f]), float(fd),
+                                   rtol=1e-2, atol=1e-4)
+
+
+def test_duplicated_feature_grad_quirk():
+    """Quirk #3: feature-0's error drives both features' table gradients."""
+    quirk = QuirkFlags(duplicated_feature_grad=True)
+    cfg = MRHEConfig(n_levels=1, table_size=16, n_features=2,
+                     min_res=2, max_res=2)
+    table = mrhe.init_table(jax.random.PRNGKey(4), cfg)
+    pos = jnp.array([[0.3, 0.3, 0.3]])
+
+    # loss reads only feature 1 => err = (0, c). With the quirk the backward
+    # uses (0, 0) so the table grad must be identically zero.
+    def loss(t, q):
+        return jnp.sum(mrhe.encode(t, pos, cfg, q)[..., 1])
+
+    g_quirk = jax.grad(lambda t: loss(t, quirk))(table)
+    g_fixed = jax.grad(lambda t: loss(t, FIXED))(table)
+    assert float(jnp.abs(g_quirk).sum()) == 0.0
+    assert float(jnp.abs(g_fixed).sum()) > 0.0
+
+
+def test_normalize_pos():
+    p = mrhe.normalize_pos(jnp.array([0.0, 0.0, 0.0]),
+                           (62.5, 42.5, 76.5), (0.0, 0.0, 0.0))
+    np.testing.assert_allclose(np.asarray(p), [0.5, 0.5, 0.5])
+    p = mrhe.normalize_pos(jnp.array([31.25, -21.25, 38.25]),
+                           (62.5, 42.5, 76.5), (0.0, 0.0, 0.0))
+    np.testing.assert_allclose(np.asarray(p), [1.0, 0.0, 1.0])
+
+
+# ---------------------------------------------------------------------------
+# one-blob
+# ---------------------------------------------------------------------------
+
+def test_norm_gauss_golden():
+    # N(0; 0, 1) = 1/sqrt(2 pi)
+    v = float(oneblob.norm_gauss(jnp.array(0.0), jnp.array(0.0), 1.0))
+    assert v == pytest.approx(1.0 / math.sqrt(2 * math.pi), rel=1e-6)
+
+
+def test_oneblob_raw_matches_reference_formula():
+    quirk = QuirkFlags(raw_oneblob=True)
+    cfg = OneBlobConfig()
+    d = jnp.array([1.0, 0.0, 0.0])  # theta = atan2(0,1)/pi+.5 = 0.5
+    feats = np.asarray(oneblob.encode_dir(d, cfg, quirk))
+    assert feats.shape == (32,)
+    # reference formula: feature[i] = NormGauss(i, 0.5, 0.25)
+    exp0 = (1 / (0.25 * math.sqrt(2 * math.pi))) * math.exp(-0.5 * (0.5 / 0.25) ** 2)
+    assert feats[0] == pytest.approx(exp0, rel=1e-5)
+    # bins >= 2 essentially zero (the reference quirk)
+    assert np.all(feats[2:16] < 1e-6)
+    # phi = atan2(1, 0)/pi + 0.5 = 1.0 in the raw mapping
+    exp16 = (1 / (0.25 * math.sqrt(2 * math.pi))) * math.exp(-0.5 * (1.0 / 0.25) ** 2)
+    assert feats[16] == pytest.approx(exp16, rel=1e-5)
+
+
+def test_oneblob_fixed_spreads_support():
+    cfg = OneBlobConfig()
+    d = jnp.array([0.0, 0.0, 1.0])  # theta = atan2(1,0)/pi+.5 = 1.0
+    feats = np.asarray(oneblob.encode_dir(d, cfg, FIXED))
+    # blob centered at bin 16 (theta=1 -> mean 16): strongest at last bins
+    assert feats[:16].argmax() == 15
+    # multiple bins active
+    assert (feats[:16] > 1e-3).sum() >= 4
+
+
+def test_oneblob_fixed_phi_range():
+    cfg = OneBlobConfig()
+    # up direction: phi = atan2(0, 1)/pi = 0 -> blob at bin 0
+    feats = np.asarray(oneblob.encode_dir(jnp.array([0.0, 1.0, 0.0]),
+                                          cfg, FIXED))
+    assert feats[16:].argmax() == 0
+    # down direction: phi = 1 -> blob at last bin
+    feats = np.asarray(oneblob.encode_dir(jnp.array([0.0, -1.0, 0.0]),
+                                          cfg, FIXED))
+    assert feats[16:].argmax() == 15
+
+
+def test_oneblob_batched_shape():
+    cfg = OneBlobConfig()
+    dirs = jax.random.normal(jax.random.PRNGKey(0), (4, 5, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    feats = oneblob.encode_dir(dirs, cfg, FIXED)
+    assert feats.shape == (4, 5, 32)
+    assert bool(jnp.all(jnp.isfinite(feats)))
