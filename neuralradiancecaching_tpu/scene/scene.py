@@ -1,0 +1,85 @@
+"""Scene pytree: volume grid + lights + env map + camera.
+
+The reference binds these as 7 descriptor sets (NrcHpmRenderer.cpp:144-166);
+here they are one NamedTuple passed to jitted step functions. Light direction
+from zenith/azimuth mirrors DirLight.cpp:5-14.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from neuralradiancecaching_tpu.config import (DirLightConfig, EnvMapConfig,
+                                              NRCConfig, PointLightConfig,
+                                              QuirkFlags)
+from neuralradiancecaching_tpu.ops import volume as volume_ops
+from neuralradiancecaching_tpu.ops.envmap import EnvMap, make_envmap
+from neuralradiancecaching_tpu.scene.camera import Camera, make_camera
+
+
+class DirLight(NamedTuple):
+    direction: jnp.ndarray  # (3,) unit
+    color: jnp.ndarray      # (3,)
+    strength: jnp.ndarray   # scalar
+
+
+class PointLight(NamedTuple):
+    position: jnp.ndarray  # (3,)
+    color: jnp.ndarray     # (3,)
+    strength: jnp.ndarray  # scalar
+
+
+class Scene(NamedTuple):
+    density: jnp.ndarray  # (Nx, Ny, Nz) fp32 density grid
+    camera: Camera
+    dir_light: DirLight
+    point_light: PointLight
+    env: EnvMap
+
+
+def dir_from_zenith_azimuth(zenith: float, azimuth: float) -> np.ndarray:
+    """DirLight.cpp:5-14: direction the light TRAVELS (pointing down for
+    zenith=-pi/2)."""
+    d = np.array([
+        math.cos(zenith) * math.cos(azimuth),
+        math.sin(zenith),
+        math.cos(zenith) * math.sin(azimuth),
+    ], dtype=np.float32)
+    return d / np.linalg.norm(d)
+
+
+def make_dir_light(cfg: DirLightConfig) -> DirLight:
+    return DirLight(
+        direction=jnp.asarray(dir_from_zenith_azimuth(cfg.zenith,
+                                                      cfg.azimuth)),
+        color=jnp.asarray(cfg.color, dtype=jnp.float32),
+        strength=jnp.float32(cfg.strength),
+    )
+
+
+def make_point_light(cfg: PointLightConfig) -> PointLight:
+    return PointLight(
+        position=jnp.asarray(cfg.position, dtype=jnp.float32),
+        color=jnp.asarray(cfg.color, dtype=jnp.float32),
+        strength=jnp.float32(cfg.strength),
+    )
+
+
+def make_scene(cfg: NRCConfig, density: jnp.ndarray,
+               env_image: jnp.ndarray) -> Scene:
+    """Assemble the full scene pytree from config + loaded assets."""
+    density = jnp.asarray(density, dtype=jnp.float32)
+    if cfg.quirks.quantize_density_8bit:
+        density = volume_ops.quantize_8bit(density)
+    return Scene(
+        density=density,
+        camera=make_camera(cfg.camera),
+        dir_light=make_dir_light(cfg.dir_light),
+        point_light=make_point_light(cfg.point_light),
+        env=make_envmap(jnp.asarray(env_image, dtype=jnp.float32),
+                        cfg.env_map),
+    )
