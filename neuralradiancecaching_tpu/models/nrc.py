@@ -1,0 +1,123 @@
+"""The neural radiance cache: MRHE + one-blob encoding into the tiny MLP,
+with guarded online training.
+
+This is the TPU equivalent of the reference's NeuralRadianceCache + MRHE
+state objects (SURVEY.md §2) plus the NN math of nrc-train.comp /
+nrc-forward.frag: parameters and optimizer state live in one pytree
+(:class:`NRCState`); `query` is the inference path (fragment Forward,
+nrc-forward.frag:503-534); `train_step` is the fused backward + both
+optimizer steps (nrc-train.comp Backprop + nrc-step + mrhe-step) as one
+jit-able function. Gradients come from `jax.grad` through the custom-VJP
+hash encode, so the reference's hand-written layer-by-layer backprop with
+atomicAdd reduction is replaced by batched matmuls + scatter-add.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neuralradiancecaching_tpu.config import NRCConfig
+from neuralradiancecaching_tpu.ops import mlp as mlp_ops
+from neuralradiancecaching_tpu.ops import mrhe as mrhe_ops
+from neuralradiancecaching_tpu.ops import oneblob as oneblob_ops
+from neuralradiancecaching_tpu.ops import optimizers
+
+
+class NRCState(NamedTuple):
+    """All trainable state + optimizer state (the 36 weight/delta/momentum
+    SSBOs + hash/delta tables of the reference, as a single pytree)."""
+
+    mlp_params: dict       # w0..w5 / b0..b5
+    mlp_momentum: dict
+    hash_table: jnp.ndarray  # (L, T, F)
+
+
+def input_features(cfg: NRCConfig) -> int:
+    """Encoded ray width: L*F MRHE features + 2*bins one-blob features
+    (64 = 32 + 32 at reference settings, nrc-train.comp:703-713)."""
+    return cfg.mrhe.n_outputs + cfg.oneblob.n_outputs
+
+
+def init_state(key: jax.Array, cfg: NRCConfig) -> NRCState:
+    expected = input_features(cfg)
+    if cfg.mlp.in_features != expected:
+        raise ValueError(
+            f"MLPConfig.in_features={cfg.mlp.in_features} must equal the "
+            f"encoded width {expected} (= mrhe {cfg.mrhe.n_outputs} + "
+            f"oneblob {cfg.oneblob.n_outputs})")
+    k_mlp, k_hash = jax.random.split(key)
+    mlp_params = mlp_ops.init_params(k_mlp, cfg.mlp)
+    return NRCState(
+        mlp_params=mlp_params,
+        mlp_momentum=optimizers.init_momentum(mlp_params),
+        hash_table=mrhe_ops.init_table(k_hash, cfg.mrhe),
+    )
+
+
+def encode(hash_table: jnp.ndarray, pos: jnp.ndarray, direction: jnp.ndarray,
+           cfg: NRCConfig) -> jnp.ndarray:
+    """EncodeRay (nrc-train.comp:703-713): [32 MRHE | 32 one-blob]."""
+    pos_norm = mrhe_ops.normalize_pos(pos, cfg.volume.box_size,
+                                      cfg.volume.box_center)
+    mrhe_feats = mrhe_ops.encode(hash_table, pos_norm, cfg.mrhe, cfg.quirks,
+                                 pos_raw=pos)
+    blob_feats = oneblob_ops.encode_dir(direction, cfg.oneblob, cfg.quirks)
+    return jnp.concatenate([mrhe_feats, blob_feats], axis=-1)
+
+
+def query(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
+          cfg: NRCConfig) -> jnp.ndarray:
+    """Cache inference (the fragment Forward): (N,3),(N,3) -> (N,3)."""
+    x = encode(state.hash_table, pos, direction, cfg)
+    return mlp_ops.apply(state.mlp_params, x, cfg.mlp)
+
+
+def compute_grads(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
+                  target: jnp.ndarray, cfg: NRCConfig):
+    """Batch-mean gradients + MSE stat (the nrc-train.comp Backprop pass,
+    :985-1028, with the NaN-encoding early-out :993-999).
+
+    Returns ((mlp_grads, hash_grad), mse). Gradients are means over the
+    LOCAL batch; data-parallel callers pmean them across the mesh before
+    applying (the TPU replacement for the reference's global atomicAdd
+    reduction, SURVEY.md §2)."""
+
+    def loss_fn(mlp_params, hash_table):
+        x = encode(hash_table, pos, direction, cfg)
+        valid = jnp.all(jnp.isfinite(x), axis=-1)
+        x = jnp.where(valid[:, None], x, 0.0)
+        return mlp_ops.nrc_loss(mlp_params, x, target, cfg.mlp, valid=valid)
+
+    (_, mse), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                         has_aux=True)(
+        state.mlp_params, state.hash_table)
+    return grads, mse
+
+
+def apply_grads(state: NRCState, grads, cfg: NRCConfig) -> NRCState:
+    """Both optimizer dispatches (nrc-step.comp + mrhe-step.comp)."""
+    mlp_grads, hash_grad = grads
+    mlp_params, mlp_momentum = optimizers.momentum_sgd_step(
+        state.mlp_params, state.mlp_momentum, mlp_grads, cfg.mlp_opt)
+    hash_table = optimizers.hash_sgd_step(state.hash_table, hash_grad,
+                                          cfg.mrhe)
+    return NRCState(mlp_params, mlp_momentum, hash_table)
+
+
+def train_step(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
+               target: jnp.ndarray, cfg: NRCConfig
+               ) -> Tuple[NRCState, jnp.ndarray]:
+    """One fused train+step pass over a batch of (pos, dir, target).
+
+    Matches nrc-train.comp Backprop + nrc-step + mrhe-step:
+      * targets clamped upstream (targets.py);
+      * loss gradient = 2*(pred-target)/batch per channel;
+      * guarded momentum-SGD on the MLP, guarded plain SGD on the tables.
+
+    Returns (new_state, mse_stat).
+    """
+    grads, mse = compute_grads(state, pos, direction, target, cfg)
+    return apply_grads(state, grads, cfg), mse

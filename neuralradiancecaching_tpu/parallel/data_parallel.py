@@ -1,0 +1,135 @@
+"""Data-parallel frame/train/render steps via shard_map.
+
+Sharding layout (SURVEY.md §2 'TPU-native equivalent'):
+  * rays / pixels: sharded over the ``data`` mesh axis (leading dim);
+  * NRC params + optimizer state + scene: replicated;
+  * gradient + loss reduction: ``pmean`` over ICI -- this psum replaces the
+    reference's single-GPU float-atomicAdd global reduction;
+  * optimizer updates run identically on every device, keeping the
+    replicated state bit-identical with zero parameter traffic.
+
+Per-device RNG keys are folded with the device's axis index so ray i on
+device 0 and ray i on device 1 draw independent randomness.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from neuralradiancecaching_tpu.config import NRCConfig
+from neuralradiancecaching_tpu.models import nrc
+from neuralradiancecaching_tpu.parallel.mesh import DATA_AXIS
+from neuralradiancecaching_tpu.render import pathtrace, targets
+from neuralradiancecaching_tpu.scene.camera import pixel_rays
+from neuralradiancecaching_tpu.scene.scene import Scene
+
+
+def _device_key(key: jax.Array) -> jax.Array:
+    return jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+
+
+def _local_train_grads(state: nrc.NRCState, scene: Scene, key: jax.Array,
+                       cfg: NRCConfig, ro, rd):
+    """Per-device: vertex selection + targets + grads on the local ray
+    shard, then cross-device mean."""
+    k = _device_key(key)
+    k_v, k_t = jax.random.split(k)
+    pos, d = targets.choose_train_vertices(scene, cfg, ro, rd, k_v)
+
+    def one_estimate(kk):
+        res = pathtrace.trace_path(scene, cfg, pos, d, kk, use_nn=False,
+                                   env_samples=cfg.train.env_samples,
+                                   max_bounces=cfg.train.target_bounces)
+        return res.scattered
+
+    keys = jax.random.split(k_t, cfg.train.target_samples)
+    target = jnp.mean(jax.vmap(one_estimate)(keys), axis=0)
+    target = jnp.minimum(target, cfg.train.target_clamp)
+
+    grads, mse = nrc.compute_grads(state, pos, d, target, cfg)
+    grads = jax.lax.pmean(grads, DATA_AXIS)
+    mse = jax.lax.pmean(mse, DATA_AXIS)
+    return grads, mse
+
+
+def _local_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
+                  cfg: NRCConfig, ro, rd) -> jnp.ndarray:
+    def query_fn(qpos, qdir):
+        return nrc.query(state, qpos, qdir, cfg)
+
+    rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, _device_key(key),
+                                    query_fn=query_fn)
+    return rgb
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def dp_train_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
+                  cfg: NRCConfig, mesh) -> Tuple[nrc.NRCState, jnp.ndarray]:
+    """Data-parallel online training pass (train grid sharded over rays)."""
+    ro, rd = pixel_rays(
+        jax.tree_util.tree_map(jnp.asarray, scene.camera),
+        cfg.train.train_width, cfg.train.train_height)
+
+    def body(state, scene, key, ro, rd):
+        grads, mse = _local_train_grads(state, scene, key, cfg, ro, rd)
+        return nrc.apply_grads(state, grads, cfg), mse
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return fn(state, scene, key, ro, rd)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def dp_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
+              cfg: NRCConfig, mesh) -> jnp.ndarray:
+    """Data-parallel render: pixels sharded, returns (H, W, 3)."""
+    ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+    fn = jax.shard_map(
+        lambda s, sc, k, o, d: _local_render(s, sc, k, cfg, o, d),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False)
+    rgb = fn(state, scene, key, ro, rd)
+    return rgb.reshape(cfg.render.height, cfg.render.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "train"))
+def dp_frame_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
+                  cfg: NRCConfig, mesh, train: bool = True):
+    """Full data-parallel frame: sharded train pass -> replicated optimizer
+    update -> sharded render. The multi-chip equivalent of
+    ``render.frame.frame_step``.
+
+    Returns (state, image (H, W, 3), mse scalar).
+    """
+    k_train, k_render = jax.random.split(key)
+    tro, trd = pixel_rays(scene.camera, cfg.train.train_width,
+                          cfg.train.train_height)
+    rro, rrd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+
+    def body(state, scene, kt, kr, tro, trd, rro, rrd):
+        if train:
+            grads, mse = _local_train_grads(state, scene, kt, cfg, tro, trd)
+            state = nrc.apply_grads(state, grads, cfg)
+        else:
+            mse = jnp.float32(0.0)
+        rgb = _local_render(state, scene, kr, cfg, rro, rrd)
+        return state, rgb, mse
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(DATA_AXIS), P()),
+        check_vma=False)
+    state, rgb, mse = fn(state, scene, k_train, k_render, tro, trd, rro, rrd)
+    return state, rgb.reshape(cfg.render.height, cfg.render.width, 3), mse

@@ -1,0 +1,250 @@
+"""Monte-Carlo volumetric path tracing -- the nrc-forward.frag /
+path-tracer.frag logic, TPU-native.
+
+Reference call structure (nrc-forward.frag:758-834): per-pixel fragment
+threads walk up to 32 scatter vertices with data-dependent early exits
+(Russian-roulette termination into a cache query). Here the walk is a
+``jax.lax.scan`` with a per-ray alive mask over a fixed trip count -- the
+SURVEY.md §7 translation of control-flow divergence. The cache query is NOT
+evaluated inside the scan: each ray terminates into at most one query, so the
+scan only records (query_pos, query_dir, query_weight) and the caller runs a
+single batched MLP evaluation afterwards -- turning 32 masked MLP calls into
+one MXU-shaped batch.
+
+All randomness is counter-based threefry (`jax.random.fold_in` per step)
+replacing the reference's fract-sin chain.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neuralradiancecaching_tpu.config import NRCConfig
+from neuralradiancecaching_tpu.ops import envmap as envmap_ops
+from neuralradiancecaching_tpu.ops import phase as phase_ops
+from neuralradiancecaching_tpu.ops import volume as volume_ops
+from neuralradiancecaching_tpu.scene.scene import Scene
+
+# A cache query function: (pos (N,3), dir (N,3)) -> radiance (N,3)
+QueryFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
+                direction: jnp.ndarray, key: jax.Array,
+                env_samples: int) -> jnp.ndarray:
+    """Direct in-scattered light at a scatter vertex (TraceScene,
+    nrc-forward.frag:751-755 = dir light + point light + env samples).
+
+    pos/direction: (N, 3). Static flags (light enables, sample counts) gate
+    code generation so disabled lights cost nothing (the reference pays a
+    runtime branch; XLA would otherwise evaluate both sides under vmap).
+    """
+    vol = cfg.volume
+    n = pos.shape[0]
+    total = jnp.zeros((n, 3), dtype=pos.dtype)
+
+    if cfg.dir_light.enabled:
+        # TraceDirLight (frag:664-675): transmittance toward the light
+        # (exit point along -light_dir), HG phase, white * strength
+        # (the reference ignores the light's color here -- kept).
+        l = scene.dir_light
+        to_light = -l.direction / jnp.linalg.norm(l.direction)
+        _, exit_p, _ = volume_ops.entry_exit_points(
+            pos, jnp.broadcast_to(to_light, pos.shape), vol.box_size,
+            vol.box_center)
+        t = volume_ops.transmittance(scene.density, pos, exit_p,
+                                     cfg.path.transmittance_steps, vol)
+        ph = phase_ops.hg_phase(jnp.sum(l.direction * -direction, axis=-1),
+                                vol.hg_g)
+        total = total + (t * l.strength * ph)[:, None] * jnp.ones((1, 3))
+
+    if cfg.point_light.enabled:
+        # TracePointLight (frag:677-688): transmittance from the light to the
+        # vertex; NOTE no 1/r^2 falloff in the reference -- kept.
+        l = scene.point_light
+        lpos = jnp.broadcast_to(l.position, pos.shape)
+        t = volume_ops.transmittance(scene.density, lpos, pos,
+                                     cfg.path.transmittance_steps, vol)
+        wi = lpos - pos
+        wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True),
+                              1e-8)
+        ph = phase_ops.hg_phase(jnp.sum(wi * -direction, axis=-1), vol.hg_g)
+        total = total + l.color[None, :] * (l.strength * t * ph)[:, None]
+
+    if env_samples > 0:
+        # SampleHdrEnvMap(pos, dir, N) (frag:710-749): phase-sampled rays
+        # with transmittance to the box exit; optional inverse-CDF branch.
+        n_cdf = int(round(env_samples * cfg.env_map.cdf_fraction))
+        n_phase = env_samples - n_cdf
+        acc = jnp.zeros((n, 3), dtype=pos.dtype)
+        for s in range(n_phase):
+            ks = jax.random.fold_in(key, s)
+            rnd_dir = phase_ops.sample_hg_direction(ks, direction, vol.hg_g)
+            _, exit_p, _ = volume_ops.entry_exit_points(
+                pos, rnd_dir, vol.box_size, vol.box_center)
+            t = volume_ops.transmittance(scene.density, pos, exit_p,
+                                         cfg.env_map.transmittance_steps, vol)
+            light = envmap_ops.sample_direct(scene.env, rnd_dir, hpm=True)
+            acc = acc + light * t[:, None]
+        for s in range(n_cdf):
+            ks = jax.random.fold_in(key, n_phase + s)
+            rnd_dir, radiance = envmap_ops.importance_sample(
+                scene.env, ks, (n,), cfg.quirks)
+            _, exit_p, _ = volume_ops.entry_exit_points(
+                pos, rnd_dir, vol.box_size, vol.box_center)
+            t = volume_ops.transmittance(scene.density, pos, exit_p,
+                                         cfg.env_map.transmittance_steps, vol)
+            ph = phase_ops.hg_phase(jnp.sum(rnd_dir * -direction, axis=-1),
+                                    vol.hg_g)
+            acc = acc + radiance * scene.env.hpm_strength * (ph * t)[:, None]
+        total = total + acc / env_samples
+
+    return total
+
+
+class PathResult(NamedTuple):
+    scattered: jnp.ndarray     # (N, 3) accumulated in-scattered light
+    transmittance: jnp.ndarray  # (N,) final path transmittance
+    query_pos: jnp.ndarray     # (N, 3) cache-query position (NN mode)
+    query_dir: jnp.ndarray     # (N, 3)
+    query_weight: jnp.ndarray  # (N,) T * dirPhase at the RR cut; 0 if none
+
+
+def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
+               rd: jnp.ndarray, key: jax.Array, use_nn: bool,
+               env_samples: int | None = None,
+               max_bounces: int | None = None) -> PathResult:
+    """One path per ray (TracePath, nrc-forward.frag:758-822) as a masked
+    scan. With ``use_nn`` the Russian-roulette cut records a cache query
+    instead of terminating into black.
+
+    ro/rd: (N, 3).
+    """
+    vol = cfg.volume
+    pt = cfg.path
+    if env_samples is None:
+        env_samples = cfg.env_map.n_samples
+    if max_bounces is None:
+        max_bounces = pt.max_bounces
+    n = ro.shape[0]
+    dtype = ro.dtype
+
+    entry, _, _ = volume_ops.entry_exit_points(ro, rd, vol.box_size,
+                                               vol.box_center)
+
+    class S(NamedTuple):
+        cur_pos: jnp.ndarray
+        last_pos: jnp.ndarray
+        cur_dir: jnp.ndarray
+        last_dir: jnp.ndarray
+        scattered: jnp.ndarray
+        trans: jnp.ndarray
+        term_prob: jnp.ndarray
+        done: jnp.ndarray
+        q_pos: jnp.ndarray
+        q_dir: jnp.ndarray
+        q_w: jnp.ndarray
+
+    init = S(
+        cur_pos=entry, last_pos=entry, cur_dir=rd,
+        last_dir=jnp.zeros_like(rd),
+        scattered=jnp.zeros((n, 3), dtype=dtype),
+        trans=jnp.ones((n,), dtype=dtype),
+        term_prob=jnp.ones((n,), dtype=dtype),
+        done=jnp.zeros((n,), dtype=bool),
+        q_pos=entry, q_dir=rd, q_w=jnp.zeros((n,), dtype=dtype),
+    )
+
+    def step(s: S, i):
+        k = jax.random.fold_in(key, i)
+        k_rr, k_scene, k_dir, k_dist = jax.random.split(k, 4)
+
+        density = volume_ops.density_at(scene.density, s.cur_pos, vol)
+        has_density = (density > 0.0) & ~s.done
+
+        if use_nn:
+            # RR cut into the cache (frag:779-791): record query, stop
+            u = jax.random.uniform(k_rr, (n,), dtype=dtype)
+            terminate = has_density & (u > s.term_prob)
+            dir_phase = phase_ops.hg_phase(
+                jnp.sum(s.cur_dir * -s.last_dir, axis=-1), vol.hg_g)
+            q_w = jnp.where(terminate, s.trans * dir_phase, s.q_w)
+            q_pos = jnp.where(terminate[:, None], s.cur_pos, s.q_pos)
+            q_dir = jnp.where(terminate[:, None], s.cur_dir, s.q_dir)
+            done = s.done | terminate
+            term_prob = jnp.where(has_density & ~terminate,
+                                  s.term_prob * pt.rr_decay, s.term_prob)
+            scatter = has_density & ~terminate
+        else:
+            q_w, q_pos, q_dir, done = s.q_w, s.q_pos, s.q_dir, s.done
+            term_prob = s.term_prob
+            scatter = has_density
+
+        # in-scattering at the vertex (frag:793-804)
+        scene_light = trace_scene(scene, cfg, s.cur_pos, s.cur_dir, k_scene,
+                                  env_samples)
+        s_int = density[:, None] * scene_light
+        scattered = s.scattered + jnp.where(scatter[:, None],
+                                            s.trans[:, None] * s_int, 0.0)
+        t_r = volume_ops.transmittance(scene.density, s.cur_pos, s.last_pos,
+                                       pt.transmittance_steps, vol)
+        trans = jnp.where(scatter, s.trans * t_r, s.trans)
+        last_pos = jnp.where(scatter[:, None], s.cur_pos, s.last_pos)
+        last_dir = jnp.where(scatter[:, None], s.cur_dir, s.last_dir)
+        new_dir = phase_ops.sample_hg_direction(k_dir, s.cur_dir, vol.hg_g)
+        cur_dir = jnp.where(scatter[:, None], new_dir, s.cur_dir)
+
+        # advance (frag:814-818): U(0, step_fraction * dist_to_exit)
+        _, t_exit, _ = volume_ops.ray_aabb(s.cur_pos, cur_dir, vol.box_size,
+                                           vol.box_center)
+        max_dist = jnp.maximum(t_exit, 0.0) * pt.step_fraction
+        u2 = jax.random.uniform(k_dist, (n,), dtype=dtype)
+        cur_pos = jnp.where(done[:, None], s.cur_pos,
+                            s.cur_pos + cur_dir * (u2 * max_dist)[:, None])
+
+        return S(cur_pos, last_pos, cur_dir, last_dir, scattered, trans,
+                 term_prob, done, q_pos, q_dir, q_w), None
+
+    final, _ = jax.lax.scan(step, init, jnp.arange(max_bounces))
+    return PathResult(final.scattered, final.trans, final.q_pos, final.q_dir,
+                      final.q_w)
+
+
+def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
+                 rd: jnp.ndarray, key: jax.Array,
+                 query_fn: Optional[QueryFn] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full render pass (nrc-forward.frag main, :837-870): spp-averaged path
+    trace, cache queries batched post-scan, env-map miss/see-through logic.
+
+    Returns (rgb (N, 3), transmittance (N,)).
+    """
+    use_nn = cfg.render.use_nn and query_fn is not None
+    n = ro.shape[0]
+
+    def one_sample(k):
+        res = trace_path(scene, cfg, ro, rd, k, use_nn=use_nn)
+        rgb = res.scattered
+        if use_nn and not cfg.render.show_non_nn:
+            cache = query_fn(res.query_pos, res.query_dir)
+            rgb = rgb + res.query_weight[:, None] * cache
+        return rgb, res.transmittance
+
+    spp = cfg.render.spp
+    if spp == 1:
+        rgb, trans = one_sample(key)
+    else:
+        keys = jax.random.split(key, spp)
+        rgbs, transs = jax.vmap(one_sample)(keys)
+        rgb, trans = jnp.mean(rgbs, axis=0), jnp.mean(transs, axis=0)
+
+    # miss & see-through -> direct env map (frag:848-864)
+    env_color = envmap_ops.sample_direct(scene.env, rd, hpm=False)
+    _, _, hit = volume_ops.ray_aabb(ro, rd, cfg.volume.box_size,
+                                    cfg.volume.box_center)
+    see_through = trans >= 1.0
+    rgb = jnp.where((~hit | see_through)[:, None], env_color, rgb)
+    return rgb, trans

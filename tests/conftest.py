@@ -1,18 +1,24 @@
-"""Test env: force an 8-device virtual CPU mesh before JAX initializes.
+"""Test env: force an 8-device virtual CPU mesh before the JAX backend
+initializes.
 
 Multi-device sharding tests run on host CPU devices (SURVEY.md §4) so no TPU
 pod is needed; single-chip TPU benchmarking happens in bench.py instead.
+
+NOTE: in this environment jax is pre-imported at interpreter startup with
+JAX_PLATFORMS=axon, so env vars alone are not enough -- the platform must be
+overridden through jax.config before first backend use.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: env may preset a TPU platform
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

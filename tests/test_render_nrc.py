@@ -1,0 +1,150 @@
+"""End-to-end render + online NRC training tests on tiny configs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralradiancecaching_tpu import config as cfg_mod
+from neuralradiancecaching_tpu.config import (EnvMapConfig, MLPConfig, NRCConfig,
+                                              PathTraceConfig, RenderConfig,
+                                              TrainConfig, VolumeConfig,
+                                              MRHEConfig)
+from neuralradiancecaching_tpu.io import assets
+from neuralradiancecaching_tpu.models import nrc
+from neuralradiancecaching_tpu.render import frame, pathtrace, targets
+from neuralradiancecaching_tpu.scene.camera import pixel_rays
+from neuralradiancecaching_tpu.scene.scene import make_scene
+
+
+def tiny_config(**render_kw) -> NRCConfig:
+    return NRCConfig(
+        volume=VolumeConfig(grid_shape=(16, 16, 16),
+                            box_size=(8.0, 8.0, 8.0)),
+        env_map=EnvMapConfig(n_samples=2, transmittance_steps=4),
+        path=PathTraceConfig(max_bounces=8, transmittance_steps=4),
+        train=TrainConfig(train_width=4, train_height=4, target_samples=2,
+                          target_bounces=6),
+        mrhe=MRHEConfig(n_levels=4, table_size=512, min_res=4, max_res=32),
+        mlp=cfg_mod.MLPConfig(in_features=4 * 2 + 32, hidden=32, n_layers=3),
+        render=RenderConfig(width=8, height=8, **render_kw),
+    )
+
+
+def tiny_scene(cfg, density_value=0.5):
+    grid = np.full(cfg.volume.grid_shape, density_value, dtype=np.float32)
+    env = assets.synthesize_sky(16, 32)
+    return make_scene(cfg, grid, env)
+
+
+def test_zero_density_renders_pure_env():
+    """The reference's own analytic shortcut (nrc-forward.frag:848-864):
+    no density anywhere => every pixel shows the direct env map."""
+    cfg = tiny_config(use_nn=False)
+    scene = tiny_scene(cfg, density_value=0.0)
+    ro, rd = pixel_rays(scene.camera, 8, 8)
+    rgb, trans = pathtrace.render_image(scene, cfg, ro, rd,
+                                        jax.random.PRNGKey(0))
+    from neuralradiancecaching_tpu.ops import envmap as envmap_ops
+    expected = envmap_ops.sample_direct(scene.env, rd, hpm=False)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(expected),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(trans), 1.0)
+
+
+def test_pathtrace_finite_and_positive():
+    cfg = tiny_config(use_nn=False)
+    scene = tiny_scene(cfg)
+    ro, rd = pixel_rays(scene.camera, 8, 8)
+    rgb, trans = pathtrace.render_image(scene, cfg, ro, rd,
+                                        jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert float(rgb.max()) > 0.0
+    assert np.all(np.asarray(trans) >= 0.0) and np.all(np.asarray(trans) <= 1.0)
+    # center rays pass through the blob -> attenuated
+    assert float(np.asarray(trans).reshape(8, 8)[4, 4]) < 1.0
+
+
+def test_train_vertex_selection_inside_box():
+    cfg = tiny_config()
+    scene = tiny_scene(cfg)
+    ro, rd = pixel_rays(scene.camera, 4, 4)
+    pos, d = targets.choose_train_vertices(scene, cfg, ro, rd,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(pos)).all()
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0,
+                               rtol=1e-4)
+    half = np.asarray(cfg.volume.box_size) / 2
+    assert np.all(np.abs(np.asarray(pos)) <= half + 1.0)
+
+
+def test_generate_train_batch_shapes_and_clamp():
+    cfg = tiny_config()
+    scene = tiny_scene(cfg)
+    batch = targets.generate_train_batch(scene, cfg, jax.random.PRNGKey(1))
+    assert batch.pos.shape == (16, 3)
+    assert batch.target.shape == (16, 3)
+    assert np.isfinite(np.asarray(batch.target)).all()
+    assert float(batch.target.max()) <= cfg.train.target_clamp
+
+
+def test_nrc_query_shapes():
+    cfg = tiny_config()
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    pos = jnp.zeros((7, 3))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (7, 1))
+    out = nrc.query(state, pos, d, cfg)
+    assert out.shape == (7, 3)
+    assert float(out.min()) >= 0.0  # output ReLU
+
+
+def test_nrc_online_training_reduces_loss():
+    """The cache must fit a fixed synthetic radiance field."""
+    cfg = tiny_config()
+    # boosted lr for a fast smoke test (reference defaults converge too,
+    # just over more frames than a unit test should run)
+    cfg = dataclasses.replace(
+        cfg, mlp_opt=cfg_mod.OptimizerConfig(learning_rate=0.01),
+        mrhe=dataclasses.replace(cfg.mrhe, learning_rate=0.05))
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    pos = jax.random.uniform(key, (512, 3), minval=-4.0, maxval=4.0)
+    d = jax.random.normal(jax.random.PRNGKey(2), (512, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # smooth positive target field
+    target = jnp.stack([
+        0.5 + 0.4 * jnp.sin(pos[:, 0]),
+        0.5 + 0.4 * jnp.cos(pos[:, 1] + d[:, 1]),
+        0.5 + 0.4 * jnp.sin(pos[:, 2] * 0.5),
+    ], axis=-1)
+
+    step = jax.jit(lambda s: nrc.train_step(s, pos, d, target, cfg),
+                   static_argnames=())
+    mses = []
+    for _ in range(200):
+        state, mse = step(state)
+        mses.append(float(mse))
+    assert mses[-1] < 0.4 * mses[0]
+    assert np.isfinite(mses).all()
+
+
+def test_frame_step_end_to_end():
+    cfg = tiny_config(use_nn=True)
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    state, out = frame.frame_step(state, scene, jax.random.PRNGKey(1), cfg)
+    assert out.image.shape == (8, 8, 3)
+    assert np.isfinite(np.asarray(out.image)).all()
+    assert np.isfinite(float(out.mse))
+    # second frame reuses the compiled program
+    state, out2 = frame.frame_step(state, scene, jax.random.PRNGKey(2), cfg)
+    assert np.isfinite(np.asarray(out2.image)).all()
+
+
+def test_presets_construct():
+    for preset in [cfg_mod.mnist_config(), cfg_mod.image_fit_config(),
+                   cfg_mod.pathtrace_config(), cfg_mod.nrc_online_config(),
+                   cfg_mod.progressive_1080p_config()]:
+        assert isinstance(preset, NRCConfig)
+        assert hash(preset) is not None  # static-arg usable

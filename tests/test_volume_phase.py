@@ -1,0 +1,114 @@
+"""Volume sampling / ray-AABB / transmittance / HG phase tests with
+analytic golden values."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralradiancecaching_tpu.config import VolumeConfig
+from neuralradiancecaching_tpu.ops import phase, volume
+
+
+def test_ray_aabb_golden():
+    # unit cube at origin, ray from -2z
+    ro = jnp.array([[0.0, 0.0, -2.0]])
+    rd = jnp.array([[0.0, 0.0, 1.0]])
+    t0, t1, hit = volume.ray_aabb(ro, rd, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0))
+    assert bool(hit[0])
+    np.testing.assert_allclose(float(t0[0]), 1.5, rtol=1e-6)
+    np.testing.assert_allclose(float(t1[0]), 2.5, rtol=1e-6)
+
+
+def test_ray_aabb_miss_and_inside():
+    ro = jnp.array([[0.0, 5.0, -2.0], [0.0, 0.0, 0.0]])
+    rd = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    t0, t1, hit = volume.ray_aabb(ro, rd, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0))
+    assert not bool(hit[0])
+    assert bool(hit[1])
+    np.testing.assert_allclose(float(t0[1]), 0.0)  # inside: entry at origin
+    np.testing.assert_allclose(float(t1[1]), 0.5, rtol=1e-6)
+
+
+def test_trilinear_constant_grid_interior():
+    grid = jnp.ones((8, 8, 8))
+    uvw = jnp.array([[0.5, 0.5, 0.5], [0.3, 0.6, 0.4]])
+    v = volume.sample_grid_trilinear(grid, uvw)
+    np.testing.assert_allclose(np.asarray(v), 1.0, rtol=1e-6)
+
+
+def test_trilinear_border_black():
+    grid = jnp.ones((4, 4, 4))
+    # just outside -> 0; at the face texel boundary -> 0.5 (half border)
+    v_out = volume.sample_grid_trilinear(grid, jnp.array([[-0.2, 0.5, 0.5]]))
+    v_face = volume.sample_grid_trilinear(grid, jnp.array([[0.0, 0.5, 0.5]]))
+    np.testing.assert_allclose(float(v_out[0]), 0.0)
+    np.testing.assert_allclose(float(v_face[0]), 0.5, rtol=1e-6)
+
+
+def test_trilinear_matches_manual_lerp():
+    rng = np.random.default_rng(0)
+    grid_np = rng.random((5, 6, 7)).astype(np.float32)
+    grid = jnp.asarray(grid_np)
+    # pick a point with known neighbours: t = uvw*N-0.5
+    uvw = jnp.array([[0.5, 0.5, 0.5]])
+    t = np.array([0.5 * 5, 0.5 * 6, 0.5 * 7]) - 0.5  # (2.0, 2.5, 3.0)
+    v = float(volume.sample_grid_trilinear(grid, uvw)[0])
+    manual = 0.5 * grid_np[2, 2, 3] + 0.5 * grid_np[2, 3, 3]
+    np.testing.assert_allclose(v, manual, rtol=1e-5)
+
+
+def test_transmittance_analytic_uniform():
+    cfg = VolumeConfig(grid_shape=(16, 16, 16), box_size=(4.0, 4.0, 4.0),
+                       box_center=(0.0, 0.0, 0.0), density_factor=0.5)
+    grid = jnp.ones((16, 16, 16))
+    # interior segment along x of length 2, constant sigma = 0.5
+    start = jnp.array([[-1.0, 0.0, 0.0]])
+    end = jnp.array([[1.0, 0.0, 0.0]])
+    t = volume.transmittance(grid, start, end, steps=64, cfg=cfg)
+    np.testing.assert_allclose(float(t[0]), math.exp(-0.5 * 2.0), rtol=1e-4)
+
+
+def test_transmittance_zero_length():
+    cfg = VolumeConfig()
+    grid = jnp.ones((4, 4, 4))
+    p = jnp.array([[0.0, 0.0, 0.0]])
+    t = volume.transmittance(grid, p, p, steps=8, cfg=cfg)
+    np.testing.assert_allclose(float(t[0]), 1.0)
+
+
+def test_hg_phase_normalization_matches_reference_formula():
+    # golden value: g=0.7, cos=1 -> 0.5*(1-0.49)/(1+0.49-1.4)^1.5
+    v = float(phase.hg_phase(jnp.array(1.0), 0.7))
+    exp = 0.5 * (1 - 0.49) / (1 + 0.49 - 1.4) ** 1.5
+    np.testing.assert_allclose(v, exp, rtol=1e-5)
+
+
+def test_hg_sampling_mean_cosine():
+    """E[cos theta] of HG sampling equals g."""
+    key = jax.random.PRNGKey(0)
+    u = jax.random.uniform(key, (200000,))
+    for g in (0.0, 0.3, 0.7):
+        ct = phase.sample_hg_cos_theta(u, g)
+        assert abs(float(ct.mean()) - g) < 0.01
+
+
+def test_hg_direction_distribution():
+    key = jax.random.PRNGKey(1)
+    old = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (100000, 1))
+    new = phase.sample_hg_direction(key, old, 0.7)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(new), axis=-1), 1.0,
+                               rtol=1e-4)
+    cos = np.asarray(jnp.sum(new * old, axis=-1))
+    assert abs(cos.mean() - 0.7) < 0.01
+    # azimuthal symmetry
+    assert abs(np.asarray(new)[:, 0].mean()) < 0.01
+    assert abs(np.asarray(new)[:, 1].mean()) < 0.01
+
+
+def test_quantize_8bit():
+    g = jnp.array([0.0, 0.5, 1.0, 0.123456])
+    q = volume.quantize_8bit(g)
+    np.testing.assert_allclose(np.asarray(q) * 255,
+                               np.round(np.asarray(g) * 255), atol=1e-4)
