@@ -1,0 +1,104 @@
+"""Benchmark: NRC render throughput (Mrays/s) on the live TPU chip.
+
+Headline metric per BASELINE.json: Mrays/s at 1080p on the cloud_sixteenth
+NRC workload. The reference publishes no numbers (SURVEY.md §6); baseline is
+the BASELINE.json north-star target of 50 Mrays/s on a v5e-8, prorated to
+the number of chips this run sees (6.25 Mrays/s per chip), so
+vs_baseline >= 1.0 means the north star is met.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Env knobs: BENCH_WIDTH/BENCH_HEIGHT/BENCH_FRAMES/BENCH_SPP/BENCH_BAND.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from neuralradiancecaching_tpu import config as cfg_mod
+    from neuralradiancecaching_tpu.io import assets
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import frame as frame_mod
+    from neuralradiancecaching_tpu.render.tiled import render_tiled
+    from neuralradiancecaching_tpu.scene.scene import make_scene
+
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    frames = int(os.environ.get("BENCH_FRAMES", 3))
+    spp = int(os.environ.get("BENCH_SPP", 1))
+    band = int(os.environ.get("BENCH_BAND", 0)) or None
+
+    cfg = cfg_mod.progressive_1080p_config()
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, aspect=width / height),
+        render=dataclasses.replace(cfg.render, width=width, height=height,
+                                   spp=spp, use_nn=True),
+    )
+
+    density = assets.load_cloud()
+    env_img = assets.load_env_map()
+    scene = make_scene(cfg, density, env_img)
+
+    state = nrc.init_state(jax.random.PRNGKey(cfg.seed), cfg)
+    # a few online training steps so the cache is non-trivial
+    for i in range(3):
+        state, _ = frame_mod.train_only_step(state, scene,
+                                             jax.random.PRNGKey(100 + i),
+                                             cfg)
+    jax.block_until_ready(state)
+
+    def run(key):
+        if band:
+            return render_tiled(state, scene, key, cfg, band_rows=band)
+        img = frame_mod.render_only_step(state, scene, key, cfg)
+        jax.block_until_ready(img)
+        return img
+
+    # warmup/compile
+    img = run(jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    for i in range(frames):
+        img = run(jax.random.PRNGKey(1 + i))
+    dt = time.perf_counter() - t0
+
+    rays = width * height * spp * frames
+    mrays_s = rays / dt / 1e6
+
+    n_chips = max(len(jax.devices()), 1)
+    baseline = 50.0 * n_chips / 8.0  # north-star prorated per chip
+
+    result = {
+        "metric": "nrc_render_throughput",
+        "value": round(mrays_s, 4),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays_s / baseline, 4),
+        "width": width,
+        "height": height,
+        "spp": spp,
+        "frames": frames,
+        "seconds": round(dt, 3),
+        "devices": n_chips,
+        "mean_radiance": float(np.asarray(img).mean()),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a JSON line
+        print(json.dumps({
+            "metric": "nrc_render_throughput", "value": 0.0,
+            "unit": "Mrays/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        sys.exit(0)

@@ -34,7 +34,11 @@ class PointLight(NamedTuple):
 
 
 class Scene(NamedTuple):
-    density: jnp.ndarray  # (Nx, Ny, Nz) fp32 density grid
+    # corner table (P, 8) from volume_ops.build_corner_table -- the fast
+    # TPU sampling representation (one row gather per trilinear fetch)
+    density: jnp.ndarray
+    # raw (Nx, Ny, Nz) fp32 grid, kept for golden tests / exports
+    density_grid: jnp.ndarray
     camera: Camera
     dir_light: DirLight
     point_light: PointLight
@@ -75,8 +79,11 @@ def make_scene(cfg: NRCConfig, density: jnp.ndarray,
     density = jnp.asarray(density, dtype=jnp.float32)
     if cfg.quirks.quantize_density_8bit:
         density = volume_ops.quantize_8bit(density)
+    assert tuple(density.shape) == tuple(cfg.volume.grid_shape), (
+        density.shape, cfg.volume.grid_shape)
     return Scene(
-        density=density,
+        density=volume_ops.build_corner_table(density),
+        density_grid=density,
         camera=make_camera(cfg.camera),
         dir_light=make_dir_light(cfg.dir_light),
         point_light=make_point_light(cfg.point_light),

@@ -112,3 +112,29 @@ def test_quantize_8bit():
     q = volume.quantize_8bit(g)
     np.testing.assert_allclose(np.asarray(q) * 255,
                                np.round(np.asarray(g) * 255), atol=1e-4)
+
+
+def test_corner_table_matches_grid_sampling():
+    """The fast corner-table path must be numerically equivalent to the
+    direct 8-gather trilinear fetch, including border behaviour."""
+    import jax
+    rng = np.random.default_rng(1)
+    grid = jnp.asarray(rng.random((9, 7, 11)).astype(np.float32))
+    table = volume.build_corner_table(grid)
+    uvw = jnp.asarray(rng.uniform(-0.3, 1.3, size=(4096, 3)).astype(np.float32))
+    a = volume.sample_grid_trilinear(grid, uvw)
+    b = volume.sample_corner_trilinear(table, uvw, (9, 7, 11))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_density_at_rank_dispatch():
+    cfg = VolumeConfig(grid_shape=(8, 8, 8), box_size=(4.0, 4.0, 4.0),
+                       density_factor=0.7)
+    grid = jnp.ones((8, 8, 8))
+    table = volume.build_corner_table(grid)
+    pos = jnp.array([[0.0, 0.0, 0.0], [0.9, -0.4, 1.2]])
+    a = volume.density_at(grid, pos, cfg)
+    b = volume.density_at(table, pos, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), 0.7, rtol=1e-6)
