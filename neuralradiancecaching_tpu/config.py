@@ -194,6 +194,12 @@ class EnvMapConfig:
     # CDF branch dead code (nrc-forward.frag:715 halfSampleCount==sampleCount);
     # 0.0 reproduces that; 0.5 enables the two-strategy sampler for real.
     cdf_fraction: float = 0.0
+    # exit-transmittance evaluation per env sample:
+    #   'field'      -- precomputed T(voxel, dir) lookup, one row gather
+    #                   (ops/lightfield.py; fast TPU path, default)
+    #   'quadrature' -- the reference's per-sample 16-step quadrature
+    #                   (nrc-forward.frag:721; exact but 16x the gathers)
+    transmittance_mode: str = "field"
 
 
 @dataclass(frozen=True)

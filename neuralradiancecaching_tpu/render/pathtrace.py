@@ -79,24 +79,32 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
         # with transmittance to the box exit; optional inverse-CDF branch.
         n_cdf = int(round(env_samples * cfg.env_map.cdf_fraction))
         n_phase = env_samples - n_cdf
+
+        def exit_transmittance(p, d):
+            """T(p -> box exit along d): precomputed field (fast) or the
+            reference's 16-step quadrature (exact)."""
+            if cfg.env_map.transmittance_mode == "field":
+                from neuralradiancecaching_tpu.ops import lightfield
+                return lightfield.query_transmittance_field(
+                    scene.env_t_field, p, d, vol)
+            _, exit_p, _ = volume_ops.entry_exit_points(p, d, vol.box_size,
+                                                        vol.box_center)
+            return volume_ops.transmittance(
+                scene.density, p, exit_p, cfg.env_map.transmittance_steps,
+                vol)
+
         acc = jnp.zeros((n, 3), dtype=pos.dtype)
         for s in range(n_phase):
             ks = jax.random.fold_in(key, s)
             rnd_dir = phase_ops.sample_hg_direction(ks, direction, vol.hg_g)
-            _, exit_p, _ = volume_ops.entry_exit_points(
-                pos, rnd_dir, vol.box_size, vol.box_center)
-            t = volume_ops.transmittance(scene.density, pos, exit_p,
-                                         cfg.env_map.transmittance_steps, vol)
+            t = exit_transmittance(pos, rnd_dir)
             light = envmap_ops.sample_direct(scene.env, rnd_dir, hpm=True)
             acc = acc + light * t[:, None]
         for s in range(n_cdf):
             ks = jax.random.fold_in(key, n_phase + s)
             rnd_dir, radiance = envmap_ops.importance_sample(
                 scene.env, ks, (n,), cfg.quirks)
-            _, exit_p, _ = volume_ops.entry_exit_points(
-                pos, rnd_dir, vol.box_size, vol.box_center)
-            t = volume_ops.transmittance(scene.density, pos, exit_p,
-                                         cfg.env_map.transmittance_steps, vol)
+            t = exit_transmittance(pos, rnd_dir)
             ph = phase_ops.hg_phase(jnp.sum(rnd_dir * -direction, axis=-1),
                                     vol.hg_g)
             acc = acc + radiance * scene.env.hpm_strength * (ph * t)[:, None]

@@ -43,6 +43,15 @@ class Scene(NamedTuple):
     dir_light: DirLight
     point_light: PointLight
     env: EnvMap
+    # precomputed exit-transmittance field (ops/lightfield.py), used when
+    # EnvMapConfig.transmittance_mode == 'field'; (1, 128) placeholder when
+    # the exact quadrature mode is selected
+    env_t_field: jnp.ndarray
+
+
+def lightfield_row_width() -> int:
+    from neuralradiancecaching_tpu.ops import lightfield
+    return lightfield.N_THETA * lightfield.N_PHI
 
 
 def dir_from_zenith_azimuth(zenith: float, azimuth: float) -> np.ndarray:
@@ -81,9 +90,17 @@ def make_scene(cfg: NRCConfig, density: jnp.ndarray,
         density = volume_ops.quantize_8bit(density)
     assert tuple(density.shape) == tuple(cfg.volume.grid_shape), (
         density.shape, cfg.volume.grid_shape)
+    corner_table = volume_ops.build_corner_table(density)
+    if cfg.env_map.transmittance_mode == "field":
+        from neuralradiancecaching_tpu.ops import lightfield
+        env_t_field = lightfield.build_transmittance_field(
+            corner_table, cfg.volume, steps=cfg.env_map.transmittance_steps)
+    else:
+        env_t_field = jnp.zeros((1, lightfield_row_width()), jnp.float32)
     return Scene(
-        density=volume_ops.build_corner_table(density),
+        density=corner_table,
         density_grid=density,
+        env_t_field=env_t_field,
         camera=make_camera(cfg.camera),
         dir_light=make_dir_light(cfg.dir_light),
         point_light=make_point_light(cfg.point_light),

@@ -1,0 +1,72 @@
+"""Precomputed exit-transmittance field tests: analytic golden values and
+agreement between the 'field' and 'quadrature' render modes."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralradiancecaching_tpu.config import VolumeConfig
+from neuralradiancecaching_tpu.ops import lightfield, volume
+from neuralradiancecaching_tpu.render import pathtrace
+from neuralradiancecaching_tpu.scene.camera import pixel_rays
+from tests.test_render_nrc import tiny_config, tiny_scene
+
+
+def test_field_uniform_density_analytic():
+    """Uniform sigma: T(p->exit along d) = exp(-sigma * dist_to_exit)."""
+    vol = VolumeConfig(grid_shape=(16, 16, 16), box_size=(8.0, 8.0, 8.0),
+                       density_factor=0.25)
+    grid = jnp.ones((16, 16, 16))
+    table = volume.build_corner_table(grid)
+    field = lightfield.build_transmittance_field(table, vol, steps=64,
+                                                 field_shape=(16, 16, 16))
+    # center, +x: distance to exit = 4
+    p = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    t = float(lightfield.query_transmittance_field(field, p, d, vol,
+                                                   (16, 16, 16))[0])
+    # border trilerp thins the last half-voxel; generous tolerance
+    assert abs(t - math.exp(-0.25 * 4.0)) < 0.05
+
+
+def test_field_query_matches_quadrature_randomly():
+    rng = np.random.default_rng(0)
+    vol = VolumeConfig(grid_shape=(16, 16, 16), box_size=(8.0, 8.0, 8.0),
+                       density_factor=0.4)
+    grid = jnp.asarray(rng.random((16, 16, 16), dtype=np.float32))
+    table = volume.build_corner_table(grid)
+    field = lightfield.build_transmittance_field(table, vol, steps=32)
+
+    pos = jnp.asarray(rng.uniform(-3, 3, (256, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    t_field = lightfield.query_transmittance_field(field, pos, d, vol)
+    _, exit_p, _ = volume.entry_exit_points(pos, d, vol.box_size,
+                                            vol.box_center)
+    t_quad = volume.transmittance(table, pos, exit_p, 32, vol)
+    err = np.abs(np.asarray(t_field) - np.asarray(t_quad))
+    assert err.mean() < 0.025
+    assert np.median(err) < 0.02  # adversarial random-noise density
+
+
+def test_render_modes_agree():
+    """'field' and 'quadrature' renders of the tiny scene agree closely."""
+    cfg_f = tiny_config(use_nn=False)
+    cfg_q = dataclasses.replace(
+        cfg_f, env_map=dataclasses.replace(cfg_f.env_map,
+                                           transmittance_mode="quadrature"))
+    scene_f = tiny_scene(cfg_f)
+    scene_q = tiny_scene(cfg_q)
+    ro, rd = pixel_rays(scene_f.camera, 8, 8)
+    rgb_f, _ = pathtrace.render_image(scene_f, cfg_f, ro, rd,
+                                      jax.random.PRNGKey(3))
+    rgb_q, _ = pathtrace.render_image(scene_q, cfg_q, ro, rd,
+                                      jax.random.PRNGKey(3))
+    a, b = np.asarray(rgb_f), np.asarray(rgb_q)
+    # same RNG stream -> same paths; only the T estimate differs
+    denom = np.abs(b).mean() + 1e-6
+    assert np.abs(a - b).mean() / denom < 0.1
