@@ -23,6 +23,9 @@ import numpy as np
 def main():
     import jax
 
+    from neuralradiancecaching_tpu.utils import setup_cache
+    setup_cache()
+
     from neuralradiancecaching_tpu import config as cfg_mod
     from neuralradiancecaching_tpu.io import assets
     from neuralradiancecaching_tpu.models import nrc
@@ -50,17 +53,20 @@ def main():
 
     state = nrc.init_state(jax.random.PRNGKey(cfg.seed), cfg)
     # a few online training steps so the cache is non-trivial
-    for i in range(3):
+    train_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 3))
+    for i in range(train_steps):
         state, _ = frame_mod.train_only_step(state, scene,
                                              jax.random.PRNGKey(100 + i),
                                              cfg)
-    jax.block_until_ready(state)
+    np.asarray(state.hash_table.sum())
 
     def run(key):
         if band:
             return render_tiled(state, scene, key, cfg, band_rows=band)
         img = frame_mod.render_only_step(state, scene, key, cfg)
-        jax.block_until_ready(img)
+        # NOTE: block_until_ready does not reliably block on the axon
+        # platform; a scalar device->host transfer is the hard sync
+        np.asarray(img.sum())
         return img
 
     # warmup/compile

@@ -1,0 +1,227 @@
+"""Command-line entry points -- the reference's `RunNrcHpm` main loop
+(src/main.cpp:109-284) split into one headless subcommand per BASELINE.json
+workload, with EXR/PNG output replacing swapchain presentation and JSONL
+metrics replacing the ImGui panel.
+
+  python -m neuralradiancecaching_tpu.cli mnist
+  python -m neuralradiancecaching_tpu.cli image-fit --steps 500
+  python -m neuralradiancecaching_tpu.cli pathtrace --width 256 --out out
+  python -m neuralradiancecaching_tpu.cli nrc-online --frames 8 --out out
+  python -m neuralradiancecaching_tpu.cli progressive --frames 4 --out out
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="out")
+    p.add_argument("--metrics", type=str, default=None,
+                   help="JSONL metrics path")
+
+
+def _save_frame(out_dir: str, name: str, image: np.ndarray) -> None:
+    from neuralradiancecaching_tpu.io import exr
+    os.makedirs(out_dir, exist_ok=True)
+    exr.write_exr(os.path.join(out_dir, name + ".exr"), image)
+    exr.write_png(os.path.join(out_dir, name + ".png"), exr.tonemap(image))
+
+
+def cmd_mnist(args) -> None:
+    from neuralradiancecaching_tpu import config as cfg_mod
+    from neuralradiancecaching_tpu.io import assets
+    from neuralradiancecaching_tpu.models import mnist_mlp
+    from neuralradiancecaching_tpu.utils.metrics import MetricsLogger
+
+    cfg = cfg_mod.mnist_config()
+    x, y = assets.load_mnist("train", limit=args.limit)
+    log = MetricsLogger(args.metrics)
+    state, loss, acc = mnist_mlp.train(x, y, cfg.mlp, cfg.mlp_opt,
+                                       steps=args.steps, seed=args.seed)
+    xt, yt = assets.load_mnist("test", limit=2048)
+    import jax.numpy as jnp
+    _, test_acc = mnist_mlp.loss_fn(state.params, jnp.asarray(xt),
+                                    jnp.asarray(yt), cfg.mlp)
+    log.log(args.steps, train_loss=loss, train_acc=acc,
+            test_acc=float(test_acc))
+    print(f"mnist: loss={loss:.4f} acc={acc:.3f} test_acc={float(test_acc):.3f}")
+
+
+def cmd_image_fit(args) -> None:
+    from neuralradiancecaching_tpu.io import assets, exr
+    from neuralradiancecaching_tpu.models import image_fit
+    import jax.numpy as jnp
+
+    img = assets.load_env_map()
+    state, psnr_db = image_fit.fit_image(jnp.asarray(img), steps=args.steps,
+                                         seed=args.seed)
+    print(f"image-fit: psnr={psnr_db:.2f} dB over {args.steps} steps")
+    if args.out:
+        mrhe_cfg, mlp_cfg, _ = image_fit.default_configs()
+        h, w = img.shape[:2]
+        ys, xs = np.meshgrid(np.arange(h) / h, np.arange(w) / w,
+                             indexing="ij")
+        uv = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1),
+                         jnp.float32)
+        pred = np.asarray(image_fit.predict(state, uv, mrhe_cfg, mlp_cfg))
+        _save_frame(args.out, "image_fit", pred.reshape(h, w, 3))
+
+
+def _build_scene(cfg):
+    from neuralradiancecaching_tpu.io import assets
+    from neuralradiancecaching_tpu.scene.scene import make_scene
+    return make_scene(cfg, assets.load_cloud(), assets.load_env_map())
+
+
+def cmd_pathtrace(args) -> None:
+    import jax
+    from neuralradiancecaching_tpu import config as cfg_mod
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import frame as frame_mod
+
+    cfg = cfg_mod.pathtrace_config(args.width, args.height, args.spp)
+    cfg = dataclasses.replace(cfg, camera=dataclasses.replace(
+        cfg.camera, aspect=args.width / args.height))
+    scene = _build_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
+    t0 = time.perf_counter()
+    img = frame_mod.render_only_step(state, scene,
+                                     jax.random.PRNGKey(args.seed), cfg)
+    img = np.asarray(img)
+    print(f"pathtrace: {args.width}x{args.height} spp={args.spp} "
+          f"{time.perf_counter() - t0:.2f}s mean={img.mean():.4f}")
+    _save_frame(args.out, "pathtrace", img)
+
+
+def cmd_nrc_online(args) -> None:
+    import jax
+    from neuralradiancecaching_tpu import config as cfg_mod
+    from neuralradiancecaching_tpu.io import checkpoint
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import frame as frame_mod
+    from neuralradiancecaching_tpu.utils.metrics import MetricsLogger
+
+    cfg = cfg_mod.nrc_online_config(args.width, args.height)
+    cfg = dataclasses.replace(cfg, camera=dataclasses.replace(
+        cfg.camera, aspect=args.width / args.height))
+    scene = _build_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
+    if args.resume:
+        state = checkpoint.load(args.resume, state)
+        print(f"resumed from {args.resume}")
+
+    log = MetricsLogger(args.metrics)
+    img = None
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        state, out = frame_mod.frame_step(
+            state, scene, jax.random.PRNGKey(args.seed * 7919 + i), cfg)
+        img = np.asarray(out.image)
+        dt = time.perf_counter() - t0
+        row = log.log(i, mse=float(out.mse), frame_s=round(dt, 3),
+                      mrays_s=round(args.width * args.height / dt / 1e6, 4))
+        # reference logs MSE every 25 frames (src/main.cpp:220-224)
+        if i % max(args.frames // 8, 1) == 0 or i == args.frames - 1:
+            print(f"frame {i}: mse={row['mse']:.5f} {row['frame_s']}s")
+    if img is not None:
+        _save_frame(args.out, "nrc_online", img)
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint, state,
+                        metadata={"frames": args.frames, "seed": args.seed})
+        print(f"checkpoint -> {args.checkpoint}")
+
+
+def cmd_progressive(args) -> None:
+    """Config 5: progressive accumulation along a camera fly-through."""
+    import jax
+    import jax.numpy as jnp
+    from neuralradiancecaching_tpu import config as cfg_mod
+    from neuralradiancecaching_tpu.io import assets
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import frame as frame_mod
+    from neuralradiancecaching_tpu.scene import camera as cam_mod
+    from neuralradiancecaching_tpu.scene.scene import make_scene
+    from neuralradiancecaching_tpu.utils.metrics import MetricsLogger
+
+    cfg = cfg_mod.progressive_1080p_config()
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera,
+                                   aspect=args.width / args.height),
+        render=dataclasses.replace(cfg.render, width=args.width,
+                                   height=args.height))
+    scene = make_scene(cfg, assets.load_cloud(), assets.load_env_map())
+    state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
+    log = MetricsLogger(args.metrics)
+
+    accum = np.zeros((args.height, args.width, 3), np.float32)
+    for i in range(args.frames):
+        pos, vdir = cam_mod.orbit_position(i, args.frames * 4, radius=64.0)
+        camera = cam_mod.make_camera(cfg.camera, position=pos, view_dir=vdir)
+        scene = scene._replace(camera=camera)
+        t0 = time.perf_counter()
+        state, out = frame_mod.frame_step(
+            state, scene, jax.random.PRNGKey(args.seed * 31 + i), cfg)
+        img = np.asarray(out.image)
+        dt = time.perf_counter() - t0
+        accum = (accum * i + img) / (i + 1)  # progressive average
+        log.log(i, mse=float(out.mse), frame_s=round(dt, 3),
+                mrays_s=round(args.width * args.height / dt / 1e6, 4))
+        print(f"frame {i}: {dt:.2f}s mse={float(out.mse):.5f}")
+    _save_frame(args.out, "progressive", accum)
+
+
+def main(argv=None) -> None:
+    from neuralradiancecaching_tpu.utils import setup_cache
+    setup_cache()
+
+    p = argparse.ArgumentParser(prog="neuralradiancecaching_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("mnist", help="BASELINE config 1")
+    _common(sp)
+    sp.add_argument("--steps", type=int, default=300)
+    sp.add_argument("--limit", type=int, default=10000)
+    sp.set_defaults(fn=cmd_mnist)
+
+    sp = sub.add_parser("image-fit", help="BASELINE config 2")
+    _common(sp)
+    sp.add_argument("--steps", type=int, default=500)
+    sp.set_defaults(fn=cmd_image_fit)
+
+    sp = sub.add_parser("pathtrace", help="BASELINE config 3 (cache off)")
+    _common(sp)
+    sp.add_argument("--width", type=int, default=800)
+    sp.add_argument("--height", type=int, default=800)
+    sp.add_argument("--spp", type=int, default=1)
+    sp.set_defaults(fn=cmd_pathtrace)
+
+    sp = sub.add_parser("nrc-online", help="BASELINE config 4")
+    _common(sp)
+    sp.add_argument("--width", type=int, default=800)
+    sp.add_argument("--height", type=int, default=800)
+    sp.add_argument("--frames", type=int, default=8)
+    sp.add_argument("--checkpoint", type=str, default=None)
+    sp.add_argument("--resume", type=str, default=None)
+    sp.set_defaults(fn=cmd_nrc_online)
+
+    sp = sub.add_parser("progressive", help="BASELINE config 5 (1080p)")
+    _common(sp)
+    sp.add_argument("--width", type=int, default=1920)
+    sp.add_argument("--height", type=int, default=1080)
+    sp.add_argument("--frames", type=int, default=4)
+    sp.set_defaults(fn=cmd_progressive)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

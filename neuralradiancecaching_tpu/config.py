@@ -278,8 +278,8 @@ def mnist_config() -> "NRCConfig":
     """Config 1: MNIST tiny-MLP supervised fit (CPU-runnable sanity loop)."""
     return NRCConfig(
         mlp=MLPConfig(in_features=784, hidden=64, out_features=10,
-                      output_relu=False),
-        mlp_opt=OptimizerConfig(learning_rate=0.05, beta1=0.5),
+                      n_layers=3, output_relu=False, weight_init_std=0.15),
+        mlp_opt=OptimizerConfig(learning_rate=0.2, beta1=0.5),
     )
 
 

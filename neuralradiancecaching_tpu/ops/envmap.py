@@ -45,6 +45,7 @@ def invert_cdf(cdf: jnp.ndarray) -> jnp.ndarray:
     return idx.astype(cdf.dtype) / n
 
 
+@jax.jit
 def build_inverse_cdfs(image: jnp.ndarray):
     """Hdr4fToCdf (read_file.cpp:141-206): per-row conditional CDF over x
     (brightness = r+g+b) and marginal CDF over y, both inverted.

@@ -51,6 +51,10 @@ def dir_to_theta_phi(d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return theta, phi
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("vol", "steps", "field_shape"))
 def build_transmittance_field(density_field: jnp.ndarray, vol: VolumeConfig,
                               steps: int = 16,
                               field_shape: Tuple[int, int, int] = FIELD_SHAPE

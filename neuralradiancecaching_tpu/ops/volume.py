@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from neuralradiancecaching_tpu.config import VolumeConfig
@@ -120,6 +121,7 @@ def sample_grid_trilinear(grid: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
 # equivalent of the GPU's hardware trilinear texture unit.
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def build_corner_table(grid: jnp.ndarray) -> jnp.ndarray:
     """(Nx, Ny, Nz) density grid -> ((Nx+1)*(Ny+1)*(Nz+1), 8) corner table.
 
@@ -161,12 +163,13 @@ def sample_corner_trilinear(table: jnp.ndarray, uvw: jnp.ndarray,
     rows = jnp.take(table, flat, axis=0)  # (..., 8)
 
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
-    wx = jnp.stack([1.0 - fx, fx], axis=-1)  # (..., 2)
-    wy = jnp.stack([1.0 - fy, fy], axis=-1)
-    wz = jnp.stack([1.0 - fz, fz], axis=-1)
-    # corner order dx*4 + dy*2 + dz
-    w = (wx[..., :, None, None] * wy[..., None, :, None]
-         * wz[..., None, None, :]).reshape(*frac.shape[:-1], 8)
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    # corner order dx*4 + dy*2 + dz; explicit products (a stacked outer
+    # product would materialize a (..., 2, 2, 2) intermediate that blows up
+    # HBM on big batched quadratures)
+    w = jnp.stack([gx * gy * gz, gx * gy * fz, gx * fy * gz, gx * fy * fz,
+                   fx * gy * gz, fx * gy * fz, fx * fy * gz, fx * fy * fz],
+                  axis=-1)
     val = jnp.sum(rows * w, axis=-1)
     return jnp.where(valid, val, 0.0)
 

@@ -48,7 +48,7 @@ def _local_train_grads(state: nrc.NRCState, scene: Scene, key: jax.Array,
         return res.scattered
 
     keys = jax.random.split(k_t, cfg.train.target_samples)
-    target = jnp.mean(jax.vmap(one_estimate)(keys), axis=0)
+    target = jnp.mean(jax.lax.map(one_estimate, keys), axis=0)
     target = jnp.minimum(target, cfg.train.target_clamp)
 
     grads, mse = nrc.compute_grads(state, pos, d, target, cfg)

@@ -260,21 +260,31 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     s, _ = jax.lax.scan(step, init, jnp.arange(max_bounces))
 
     # ---- Phase 2: shade the recorded events ----
+    # Sequential over the K slots (lax.map) so transient quadrature buffers
+    # stay O(N * steps) instead of O(N * K * steps) -- the batch dimension N
+    # already saturates the chip; K only multiplies memory.
     valid = slot_iota < s.cnt[:, None]  # (N, K)
+    k_scene = jax.random.fold_in(key, max_bounces + 1)
 
-    # per-event segment transmittance; unused slots have ev_pos == ev_prev
-    # (zero-length -> 1) or are forced to 1 below
-    t_r = volume_ops.transmittance(scene.density, s.ev_pos, s.ev_prev,
-                                   pt.transmittance_steps, vol)
-    t_r = jnp.where(valid, t_r, 1.0)
+    def shade_slot(args):
+        slot_idx, ev_pos, ev_prev, ev_dir = args
+        t_r = volume_ops.transmittance(scene.density, ev_pos, ev_prev,
+                                       pt.transmittance_steps, vol)
+        light = trace_scene(scene, cfg, ev_pos, ev_dir,
+                            jax.random.fold_in(k_scene, slot_idx),
+                            env_samples)
+        return t_r, light
+
+    slots = (jnp.arange(k_slots, dtype=jnp.int32),
+             jnp.swapaxes(s.ev_pos, 0, 1), jnp.swapaxes(s.ev_prev, 0, 1),
+             jnp.swapaxes(s.ev_dir, 0, 1))
+    t_r_k, light_k = jax.lax.map(shade_slot, slots)  # (K, N), (K, N, 3)
+    t_r = jnp.where(valid, jnp.swapaxes(t_r_k, 0, 1), 1.0)  # (N, K)
+    light = jnp.swapaxes(light_k, 0, 1)  # (N, K, 3)
+
     t_incl = jnp.cumprod(t_r, axis=1)  # (N, K) throughput AFTER event k
     t_before = jnp.concatenate(
         [jnp.ones((n, 1), dtype=dtype), t_incl[:, :-1]], axis=1)
-
-    k_scene = jax.random.fold_in(key, max_bounces + 1)
-    light = trace_scene(scene, cfg, s.ev_pos.reshape(-1, 3),
-                        s.ev_dir.reshape(-1, 3), k_scene,
-                        env_samples).reshape(n, k_slots, 3)
     contrib = (valid * t_before * s.ev_dens)[..., None] * light
     scattered = jnp.sum(contrib, axis=1)
 
@@ -314,7 +324,7 @@ def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         rgb, trans = one_sample(key)
     else:
         keys = jax.random.split(key, spp)
-        rgbs, transs = jax.vmap(one_sample)(keys)
+        rgbs, transs = jax.lax.map(one_sample, keys)
         rgb, trans = jnp.mean(rgbs, axis=0), jnp.mean(transs, axis=0)
 
     # miss & see-through -> direct env map (frag:848-864)

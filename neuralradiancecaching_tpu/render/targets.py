@@ -126,7 +126,9 @@ def generate_train_batch(scene: Scene, cfg: NRCConfig,
         return res.scattered
 
     keys = jax.random.split(k_t, cfg.train.target_samples)
-    estimates = jax.vmap(one_estimate)(keys)  # (S, N, 3)
+    # sequential over estimates (memory: each estimate is a full path-trace
+    # batch; vmap would multiply every transient by target_samples)
+    estimates = jax.lax.map(one_estimate, keys)  # (S, N, 3)
     target = jnp.mean(estimates, axis=0)
     target = jnp.minimum(target, cfg.train.target_clamp)
     return TrainBatch(pos=pos, dir=d, target=target)

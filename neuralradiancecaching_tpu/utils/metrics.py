@@ -1,0 +1,75 @@
+"""Structured per-step metrics: JSONL + CSV loggers and image-quality
+metrics.
+
+Replaces the reference's stdout MSE prints (src/main.cpp:220-224) and FPS
+title bar (SURVEY.md §5) with machine-readable logs.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import IO
+
+import numpy as np
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics log with wall-clock timestamps."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self._fh: IO | None = None
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                        exist_ok=True)
+            self._fh = open(path, "a")
+        self.t0 = time.perf_counter()
+        self.rows = []
+
+    def log(self, step: int, **values) -> dict:
+        row = {"step": step, "t": round(time.perf_counter() - self.t0, 4),
+               **{k: (float(v) if hasattr(v, "__float__") else v)
+                  for k, v in values.items()}}
+        self.rows.append(row)
+        if self._fh:
+            self._fh.write(json.dumps(row) + "\n")
+            self._fh.flush()
+        return row
+
+    def write_csv(self, path: str) -> None:
+        if not self.rows:
+            return
+        keys = sorted({k for r in self.rows for k in r})
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(self.rows)
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+
+
+def rmse(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def relative_rmse(a: np.ndarray, ref: np.ndarray) -> float:
+    """RMSE normalized by the reference's RMS -- the '<=1% RMSE vs converged
+    no-cache' metric of BASELINE.json."""
+    ref = np.asarray(ref, np.float64)
+    denom = np.sqrt(np.mean(ref ** 2)) + 1e-12
+    return rmse(a, ref) / denom
+
+
+def psnr(a: np.ndarray, ref: np.ndarray, peak: float | None = None) -> float:
+    ref = np.asarray(ref, np.float64)
+    if peak is None:
+        peak = max(float(ref.max()), 1.0)
+    mse = np.mean((np.asarray(a, np.float64) - ref) ** 2)
+    return float(10.0 * np.log10(peak * peak / max(mse, 1e-12)))
