@@ -37,7 +37,9 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     frames = int(os.environ.get("BENCH_FRAMES", 3))
     spp = int(os.environ.get("BENCH_SPP", 1))
-    band = int(os.environ.get("BENCH_BAND", 0)) or None
+    # banded rendering keeps per-dispatch transients bounded; 0 = whole frame
+    default_band = 135 if height % 135 == 0 else 0
+    band = int(os.environ.get("BENCH_BAND", default_band)) or None
 
     cfg = cfg_mod.progressive_1080p_config()
     cfg = dataclasses.replace(

@@ -45,6 +45,11 @@ def read_hdr(path: str) -> np.ndarray:
         raise ValueError(f"unsupported HDR orientation: {res}")
     height, width = int(res[1]), int(res[3])
 
+    # native fast path (csrc/nrcio.cpp), ~16x the pure-Python RLE decode
+    from neuralradiancecaching_tpu.io import native
+    if native.available():
+        return native.hdr_decode(data[pos:], width, height)
+
     out = np.zeros((height, width, 4), dtype=np.uint8)
     buf = np.frombuffer(data, dtype=np.uint8, offset=pos)
     bp = 0
