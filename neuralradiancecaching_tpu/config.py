@@ -61,6 +61,10 @@ class MLPConfig:
     n_layers: int = 6  # 5 hidden matmuls + 1 output matmul
     weight_init_std: float = 0.01
     output_relu: bool = True
+    # 'relu' is the live reference path; 'sigmoid' resurrects the commented
+    # alternative (nrc-forward.frag:441-488) and the vestigial compute-lib's
+    # SigmoidLayer (include/engine/compute/SigmoidLayer.hpp)
+    activation: str = "relu"
 
 
 @dataclass(frozen=True)

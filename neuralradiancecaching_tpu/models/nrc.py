@@ -107,6 +107,24 @@ def apply_grads(state: NRCState, grads, cfg: NRCConfig) -> NRCState:
     return NRCState(mlp_params, mlp_momentum, hash_table)
 
 
+def dump_weights(state: NRCState, max_per_layer: int = 8) -> str:
+    """Human-readable weight summary -- the debug equivalent of
+    NeuralRadianceCache::PrintWeights (NeuralRadianceCache.cpp:558-594),
+    with per-layer stats instead of a raw 20k-float dump."""
+    lines = []
+    for name in sorted(state.mlp_params):
+        w = state.mlp_params[name]
+        head = ", ".join(f"{float(v):+.4f}"
+                         for v in jnp.ravel(w)[:max_per_layer])
+        lines.append(f"{name} {tuple(w.shape)}: mean={float(w.mean()):+.5f} "
+                     f"std={float(w.std()):.5f} absmax={float(jnp.abs(w).max()):.5f}"
+                     f" head=[{head}]")
+    h = state.hash_table
+    lines.append(f"hash {tuple(h.shape)}: mean={float(h.mean()):+.5f} "
+                 f"std={float(h.std()):.5f} absmax={float(jnp.abs(h).max()):.5f}")
+    return "\n".join(lines)
+
+
 def train_step(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
                target: jnp.ndarray, cfg: NRCConfig
                ) -> Tuple[NRCState, jnp.ndarray]:

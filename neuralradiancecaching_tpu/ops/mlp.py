@@ -47,18 +47,25 @@ def init_params(key: jax.Array, cfg: MLPConfig,
     return params
 
 
+def _activate(h: jnp.ndarray, cfg: MLPConfig) -> jnp.ndarray:
+    if cfg.activation == "sigmoid":
+        return jax.nn.sigmoid(h)
+    return jnp.maximum(h, 0.0)
+
+
 def apply(params: Params, x: jnp.ndarray, cfg: MLPConfig) -> jnp.ndarray:
     """Forward pass. x: (..., in_features) -> (..., out_features).
 
-    ReLU after every layer; the output ReLU is the reference's radiance
-    clamp (quirk #5 -- kept, it defines the model's function class).
+    Activation after every layer; the output activation is the reference's
+    radiance clamp (quirk #5 -- kept, it defines the model's function
+    class).
     """
     h = x
     for i in range(cfg.n_layers):
         h = jnp.dot(h, params[f"w{i}"], preferred_element_type=jnp.float32)
         h = h + params[f"b{i}"]
         if i < cfg.n_layers - 1 or cfg.output_relu:
-            h = jnp.maximum(h, 0.0)
+            h = _activate(h, cfg)
     return h
 
 

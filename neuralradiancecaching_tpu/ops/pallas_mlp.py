@@ -34,7 +34,12 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fused_kernel(n_layers: int, output_relu: bool):
+def _fused_kernel(n_layers: int, output_relu: bool, activation: str):
+    def act(h):
+        if activation == "sigmoid":
+            return jax.nn.sigmoid(h)
+        return jnp.maximum(h, 0.0)
+
     def kernel(x_ref, *refs):
         # refs: w0, b0, w1, b1, ..., out_ref
         out_ref = refs[-1]
@@ -44,7 +49,7 @@ def _fused_kernel(n_layers: int, output_relu: bool):
             b = refs[2 * i + 1][:]
             h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
             if i < n_layers - 1 or output_relu:
-                h = jnp.maximum(h, 0.0)
+                h = act(h)
         out_ref[:] = h
 
     return kernel
@@ -90,7 +95,7 @@ def apply_fused(params, x: jnp.ndarray, cfg: MLPConfig,
                                      memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
-        _fused_kernel(cfg.n_layers, cfg.output_relu),
+        _fused_kernel(cfg.n_layers, cfg.output_relu, cfg.activation),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TILE_B, d_out_pad), lambda i: (i, 0),
