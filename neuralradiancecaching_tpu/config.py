@@ -42,6 +42,13 @@ class QuirkFlags:
     # sin(theta*pi)*(cos, 1, sin) formula (nrc-forward.frag:736) instead of
     # the correct spherical direction.
     raw_envmap_dir: bool = False
+    # At the Russian-roulette cut the reference scales the cache query by
+    # hg_phase(dot(currentDir, -lastDir)) (nrc-forward.frag:785-786) -- but
+    # the cache is trained on UNWEIGHTED path radiance from that very
+    # (pos, dir) and every other vertex uses phase=1 (the 'importance
+    # sampling' convention, frag:797). The factor systematically dims the
+    # cached tail ~15x for forward-scattered paths. Fixed default: weight 1.
+    query_dir_phase: bool = False
 
 
 @dataclass(frozen=True)

@@ -214,8 +214,12 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         if use_nn:
             u = jax.random.uniform(k_rr, (n,), dtype=dtype)
             terminate = has_density & (u > s.term_prob)
-            dir_phase = phase_ops.hg_phase(
-                jnp.sum(s.cur_dir * -s.last_dir, axis=-1), vol.hg_g)
+            if cfg.quirks.query_dir_phase:
+                # reference frag:785-786 (see QuirkFlags.query_dir_phase)
+                dir_phase = phase_ops.hg_phase(
+                    jnp.sum(s.cur_dir * -s.last_dir, axis=-1), vol.hg_g)
+            else:
+                dir_phase = jnp.ones((n,), dtype=dtype)
             has_query = s.has_query | terminate
             q_phase = jnp.where(terminate, dir_phase, s.q_phase)
             q_pos = jnp.where(terminate[:, None], s.cur_pos, s.q_pos)
