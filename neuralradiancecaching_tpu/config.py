@@ -227,6 +227,11 @@ class PathTraceConfig:
     # (nrc-forward.frag:816, nrc-train.comp:1165)
     step_fraction: float = 0.1
     rr_decay: float = 0.5  # Russian-roulette survival decay per bounce
+    # segment transmittance between scatter vertices (and to dir/point
+    # lights): 'field' = two tau-field row gathers per segment
+    # (ops/lightfield.py segment_transmittance_field, fast TPU path);
+    # 'quadrature' = the reference's 32-step quadrature (exact)
+    transmittance_mode: str = "field"
 
 
 @dataclass(frozen=True)

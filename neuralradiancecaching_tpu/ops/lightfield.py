@@ -93,12 +93,12 @@ def build_transmittance_field(density_field: jnp.ndarray, vol: VolumeConfig,
     return jnp.transpose(tau).reshape(-1, N_THETA * N_PHI)
 
 
-def query_transmittance_field(field: jnp.ndarray, pos: jnp.ndarray,
-                              d: jnp.ndarray, vol: VolumeConfig,
-                              field_shape: Tuple[int, int, int] = FIELD_SHAPE
-                              ) -> jnp.ndarray:
-    """T(pos -> exit along d): nearest voxel row + bilinear over (theta, phi)
-    with phi wraparound. pos/d: (..., 3) -> (...,)."""
+def query_tau_field(field: jnp.ndarray, pos: jnp.ndarray,
+                    d: jnp.ndarray, vol: VolumeConfig,
+                    field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                    ) -> jnp.ndarray:
+    """Optical depth tau(pos -> exit along d): nearest voxel row + bilinear
+    over (theta, phi) with phi wraparound. pos/d: (..., 3) -> (...,)."""
     nx, ny, nz = field_shape
     uvw = volume_ops.world_to_uvw(pos, vol.box_size, vol.box_center)
     ijk = jnp.clip((uvw * jnp.asarray(field_shape, uvw.dtype)).astype(
@@ -134,8 +134,38 @@ def query_transmittance_field(field: jnp.ndarray, pos: jnp.ndarray,
     t11 = pick(th_sel1, ph_sel1)
     top = t00 + (t01 - t00) * wp
     bot = t10 + (t11 - t10) * wp
-    tau = top + (bot - top) * wt
-    return jnp.exp(-tau)
+    return top + (bot - top) * wt
+
+
+def query_transmittance_field(field: jnp.ndarray, pos: jnp.ndarray,
+                              d: jnp.ndarray, vol: VolumeConfig,
+                              field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                              ) -> jnp.ndarray:
+    """T(pos -> exit along d) = exp(-tau)."""
+    return jnp.exp(-query_tau_field(field, pos, d, vol, field_shape))
+
+
+def segment_transmittance_field(field: jnp.ndarray, a: jnp.ndarray,
+                                b: jnp.ndarray, vol: VolumeConfig,
+                                field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                                ) -> jnp.ndarray:
+    """Transmittance of the segment a -> b from the SAME exit-tau field:
+
+        tau(a -> b) = tau(a -> exit along d) - tau(b -> exit along d),
+        d = (b - a)/|b - a|
+
+    exact in the continuum (both points share the exit ray), so the only
+    error is field interpolation -- and it partially cancels between the two
+    correlated lookups. TWO row gathers replace the reference's 32-step
+    quadrature (GetTransmittance, nrc-train.comp:1032-1053).
+    """
+    seg = b - a
+    length = jnp.linalg.norm(seg, axis=-1)
+    d = seg / jnp.maximum(length, 1e-12)[..., None]
+    tau = (query_tau_field(field, a, d, vol, field_shape)
+           - query_tau_field(field, b, d, vol, field_shape))
+    t = jnp.exp(-jnp.maximum(tau, 0.0))
+    return jnp.where(length > 0.0, t, 1.0)
 
 
 def precompute_for_scene(scene, cfg: NRCConfig):

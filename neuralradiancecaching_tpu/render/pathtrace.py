@@ -46,6 +46,15 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
     n = pos.shape[0]
     total = jnp.zeros((n, 3), dtype=pos.dtype)
 
+    def segment_t(a, b):
+        """Segment transmittance: tau-field (fast) or quadrature (exact)."""
+        if cfg.path.transmittance_mode == "field":
+            from neuralradiancecaching_tpu.ops import lightfield
+            return lightfield.segment_transmittance_field(
+                scene.env_t_field, a, b, vol)
+        return volume_ops.transmittance(scene.density, a, b,
+                                        cfg.path.transmittance_steps, vol)
+
     if cfg.dir_light.enabled:
         # TraceDirLight (frag:664-675): transmittance toward the light
         # (exit point along -light_dir), HG phase, white * strength
@@ -55,8 +64,7 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
         _, exit_p, _ = volume_ops.entry_exit_points(
             pos, jnp.broadcast_to(to_light, pos.shape), vol.box_size,
             vol.box_center)
-        t = volume_ops.transmittance(scene.density, pos, exit_p,
-                                     cfg.path.transmittance_steps, vol)
+        t = segment_t(pos, exit_p)
         ph = phase_ops.hg_phase(jnp.sum(l.direction * -direction, axis=-1),
                                 vol.hg_g)
         total = total + (t * l.strength * ph)[:, None] * jnp.ones((1, 3))
@@ -66,8 +74,7 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
         # vertex; NOTE no 1/r^2 falloff in the reference -- kept.
         l = scene.point_light
         lpos = jnp.broadcast_to(l.position, pos.shape)
-        t = volume_ops.transmittance(scene.density, lpos, pos,
-                                     cfg.path.transmittance_steps, vol)
+        t = segment_t(lpos, pos)
         wi = lpos - pos
         wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True),
                               1e-8)
@@ -272,8 +279,13 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     def shade_slot(args):
         slot_idx, ev_pos, ev_prev, ev_dir = args
-        t_r = volume_ops.transmittance(scene.density, ev_pos, ev_prev,
-                                       pt.transmittance_steps, vol)
+        if pt.transmittance_mode == "field":
+            from neuralradiancecaching_tpu.ops import lightfield
+            t_r = lightfield.segment_transmittance_field(
+                scene.env_t_field, ev_pos, ev_prev, vol)
+        else:
+            t_r = volume_ops.transmittance(scene.density, ev_pos, ev_prev,
+                                           pt.transmittance_steps, vol)
         light = trace_scene(scene, cfg, ev_pos, ev_dir,
                             jax.random.fold_in(k_scene, slot_idx),
                             env_samples)

@@ -91,7 +91,8 @@ def make_scene(cfg: NRCConfig, density: jnp.ndarray,
     assert tuple(density.shape) == tuple(cfg.volume.grid_shape), (
         density.shape, cfg.volume.grid_shape)
     corner_table = volume_ops.build_corner_table(density)
-    if cfg.env_map.transmittance_mode == "field":
+    if (cfg.env_map.transmittance_mode == "field"
+            or cfg.path.transmittance_mode == "field"):
         from neuralradiancecaching_tpu.ops import lightfield
         env_t_field = lightfield.build_transmittance_field(
             corner_table, cfg.volume, steps=cfg.env_map.transmittance_steps)

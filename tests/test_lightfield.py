@@ -70,3 +70,32 @@ def test_render_modes_agree():
     # same RNG stream -> same paths; only the T estimate differs
     denom = np.abs(b).mean() + 1e-6
     assert np.abs(a - b).mean() / denom < 0.1
+
+
+def test_segment_transmittance_field_matches_quadrature():
+    rng = np.random.default_rng(2)
+    vol = VolumeConfig(grid_shape=(16, 16, 16), box_size=(8.0, 8.0, 8.0),
+                       density_factor=0.4)
+    # smooth density (real clouds are smooth; random noise is adversarial)
+    x = np.linspace(-1, 1, 16, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(x, x, x, indexing="ij")
+    grid = jnp.asarray(np.exp(-(gx**2 + gy**2 + gz**2) * 2).astype(np.float32))
+    table = volume.build_corner_table(grid)
+    field = lightfield.build_transmittance_field(table, vol, steps=32)
+
+    a = jnp.asarray(rng.uniform(-3, 3, (512, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-3, 3, (512, 3)).astype(np.float32))
+    t_field = lightfield.segment_transmittance_field(field, a, b, vol)
+    t_quad = volume.transmittance(table, a, b, 32, vol)
+    err = np.abs(np.asarray(t_field) - np.asarray(t_quad))
+    assert err.mean() < 0.03, err.mean()
+    assert np.median(err) < 0.025
+
+
+def test_segment_field_zero_length():
+    vol = VolumeConfig(grid_shape=(8, 8, 8), box_size=(8.0, 8.0, 8.0))
+    table = volume.build_corner_table(jnp.ones((8, 8, 8)))
+    field = lightfield.build_transmittance_field(table, vol, steps=8)
+    p = jnp.array([[0.0, 0.0, 0.0]])
+    t = lightfield.segment_transmittance_field(field, p, p, vol)
+    np.testing.assert_allclose(np.asarray(t), 1.0)
