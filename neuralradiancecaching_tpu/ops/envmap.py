@@ -25,6 +25,10 @@ class EnvMap(NamedTuple):
     """Scene env-map state (the reference's set-5 descriptor set)."""
 
     image: jnp.ndarray      # (H, W, 3) linear radiance
+    # corner-packed rows for one-gather bilinear fetches: row (y*W + x) =
+    # [rgb(x,y) | rgb(x+1,y) | rgb(x,y+1) | rgb(x+1,y+1)] with u wraparound
+    # and v clamp baked in (same trick as the volume corner table)
+    corner: jnp.ndarray     # (H*W, 12)
     inv_cdf_x: jnp.ndarray  # (H, W)  u -> phi_norm, conditioned on row
     inv_cdf_y: jnp.ndarray  # (H,)    u -> theta_norm
     direct_strength: jnp.ndarray  # scalar
@@ -62,10 +66,22 @@ def build_inverse_cdfs(image: jnp.ndarray):
     return inv_x, inv_y
 
 
+@jax.jit
+def build_env_corner_table(image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) -> (H*W, 12) with the 4 bilinear corners per row."""
+    right = jnp.roll(image, -1, axis=1)  # u wraps (equirect seam)
+    down = jnp.concatenate([image[1:], image[-1:]], axis=0)  # v clamps
+    down_right = jnp.roll(down, -1, axis=1)
+    packed = jnp.concatenate([image, right, down, down_right], axis=-1)
+    return packed.reshape(-1, 12)
+
+
 def make_envmap(image: jnp.ndarray, cfg: EnvMapConfig) -> EnvMap:
+    image = image.astype(jnp.float32)
     inv_x, inv_y = build_inverse_cdfs(image)
     return EnvMap(
-        image=image.astype(jnp.float32),
+        image=image,
+        corner=build_env_corner_table(image),
         inv_cdf_x=inv_x,
         inv_cdf_y=inv_y,
         direct_strength=jnp.float32(cfg.direct_strength),
@@ -76,7 +92,7 @@ def make_envmap(image: jnp.ndarray, cfg: EnvMapConfig) -> EnvMap:
 def _bilinear_wrap_u(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear fetch from (H, W, C); u wraps (equirect seam), v clamps.
 
-    uv: (..., 2) in [0,1].
+    uv: (..., 2) in [0,1]. Reference 4-gather form (tests + CDF radiance).
     """
     h, w = image.shape[0], image.shape[1]
     tu = uv[..., 0] * w - 0.5
@@ -104,6 +120,27 @@ def _bilinear_wrap_u(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return top + (bot - top) * fv[..., None]
 
 
+def bilinear_lookup(env: EnvMap, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear fetch via the corner table: ONE row gather per sample
+    (equivalent to :func:`_bilinear_wrap_u`, tested)."""
+    h, w = env.image.shape[0], env.image.shape[1]
+    tu = uv[..., 0] * w - 0.5
+    tv = uv[..., 1] * h - 0.5
+    iu0 = jnp.floor(tu)
+    iv0 = jnp.floor(tv)
+    fu = tu - iu0
+    # top-edge clamp: both v-corners are row 0, so force fv = 0 there
+    fv = jnp.where(iv0 < 0, 0.0, tv - iv0)
+    iu = jnp.mod(iu0.astype(jnp.int32), w)
+    iv = jnp.clip(iv0.astype(jnp.int32), 0, h - 1)
+    rows = jnp.take(env.corner, iv * w + iu, axis=0)  # (..., 12)
+    c00, c10 = rows[..., 0:3], rows[..., 3:6]
+    c01, c11 = rows[..., 6:9], rows[..., 9:12]
+    top = c00 + (c10 - c00) * fu[..., None]
+    bot = c01 + (c11 - c01) * fu[..., None]
+    return top + (bot - top) * fv[..., None]
+
+
 def dir_to_equirect_uv(direction: jnp.ndarray) -> jnp.ndarray:
     """uv = (atan2(z,x), asin(y)) * (0.1591, 0.3183) + 0.5
     (nrc-forward.frag:690-701)."""
@@ -118,7 +155,7 @@ def sample_direct(env: EnvMap, direction: jnp.ndarray,
     """SampleHdrEnvMap(dir, hpm) (nrc-forward.frag:703-708): radiance seen
     looking along `direction`, scaled by the chosen strength."""
     uv = dir_to_equirect_uv(direction)
-    rgb = _bilinear_wrap_u(env.image, uv)
+    rgb = bilinear_lookup(env, uv)
     strength = env.hpm_strength if hpm else env.direct_strength
     return rgb * strength
 
@@ -169,5 +206,5 @@ def importance_sample(env: EnvMap, key: jax.Array, shape,
         direction = jnp.stack([r * jnp.cos(az), y, r * jnp.sin(az)], axis=-1)
 
     uv = jnp.stack([phi_norm, theta_norm], axis=-1)
-    radiance = _bilinear_wrap_u(env.image, uv)
+    radiance = bilinear_lookup(env, uv)
     return direction, radiance

@@ -125,3 +125,15 @@ def test_envmap_direct_lookup():
     np.testing.assert_allclose(np.asarray(rgb), [1.0, 0.0, 0.0], atol=1e-6)
     rgb = envmap_ops.sample_direct(env, jnp.array([0.0, 0.0, 1.0]), hpm=True)
     np.testing.assert_allclose(np.asarray(rgb), [8.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_env_corner_lookup_matches_4gather():
+    import jax
+    img = np.random.default_rng(5).random((16, 32, 3)).astype(np.float32)
+    env = envmap_ops.make_envmap(jnp.asarray(img), EnvMapConfig())
+    uv = jnp.asarray(np.random.default_rng(6).uniform(0, 1, (2048, 2))
+                     .astype(np.float32))
+    a = envmap_ops._bilinear_wrap_u(env.image, uv)
+    b = envmap_ops.bilinear_lookup(env, uv)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
