@@ -161,17 +161,28 @@ def cmd_progressive(args) -> None:
     state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
     log = MetricsLogger(args.metrics)
 
+    # camera moves every `move_every` frames; progressive 1-spp accumulation
+    # resets on movement (matching interactive progressive rendering)
     accum = np.zeros((args.height, args.width, 3), np.float32)
+    n_accum = 0
     for i in range(args.frames):
-        pos, vdir = cam_mod.orbit_position(i, args.frames * 4, radius=64.0)
-        camera = cam_mod.make_camera(cfg.camera, position=pos, view_dir=vdir)
-        scene = scene._replace(camera=camera)
+        cam_step = i // args.move_every
+        if i % args.move_every == 0:
+            pos, vdir = cam_mod.orbit_position(
+                cam_step, max(args.frames // args.move_every, 1) * 4,
+                radius=64.0)
+            camera = cam_mod.make_camera(cfg.camera, position=pos,
+                                         view_dir=vdir)
+            scene = scene._replace(camera=camera)
+            accum[:] = 0.0
+            n_accum = 0
         t0 = time.perf_counter()
         state, out = frame_mod.frame_step(
             state, scene, jax.random.PRNGKey(args.seed * 31 + i), cfg)
         img = np.asarray(out.image)
         dt = time.perf_counter() - t0
-        accum = (accum * i + img) / (i + 1)  # progressive average
+        accum = (accum * n_accum + img) / (n_accum + 1)
+        n_accum += 1
         log.log(i, mse=float(out.mse), frame_s=round(dt, 3),
                 mrays_s=round(args.width * args.height / dt / 1e6, 4))
         print(f"frame {i}: {dt:.2f}s mse={float(out.mse):.5f}")
@@ -217,6 +228,8 @@ def main(argv=None) -> None:
     sp.add_argument("--width", type=int, default=1920)
     sp.add_argument("--height", type=int, default=1080)
     sp.add_argument("--frames", type=int, default=4)
+    sp.add_argument("--move-every", dest="move_every", type=int, default=4,
+                    help="camera fly-through step interval (frames)")
     sp.set_defaults(fn=cmd_progressive)
 
     args = p.parse_args(argv)
