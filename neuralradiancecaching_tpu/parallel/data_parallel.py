@@ -19,6 +19,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from neuralradiancecaching_tpu.config import NRCConfig
@@ -67,10 +68,21 @@ def _local_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
     return rgb
 
 
+def _check_divisible(mesh, *counts) -> None:
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    for c in counts:
+        if c % n != 0:
+            raise ValueError(
+                f"ray/pixel count {c} must be divisible by the mesh size "
+                f"{n}; adjust train_width/train_height or render width x "
+                f"height")
+
+
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
 def dp_train_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
                   cfg: NRCConfig, mesh) -> Tuple[nrc.NRCState, jnp.ndarray]:
     """Data-parallel online training pass (train grid sharded over rays)."""
+    _check_divisible(mesh, cfg.train.n_rays)
     ro, rd = pixel_rays(
         jax.tree_util.tree_map(jnp.asarray, scene.camera),
         cfg.train.train_width, cfg.train.train_height)
@@ -91,6 +103,7 @@ def dp_train_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
 def dp_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
               cfg: NRCConfig, mesh) -> jnp.ndarray:
     """Data-parallel render: pixels sharded, returns (H, W, 3)."""
+    _check_divisible(mesh, cfg.render.width * cfg.render.height)
     ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
     fn = jax.shard_map(
         lambda s, sc, k, o, d: _local_render(s, sc, k, cfg, o, d),
@@ -111,6 +124,8 @@ def dp_frame_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
     Returns (state, image (H, W, 3), mse scalar).
     """
+    _check_divisible(mesh, cfg.train.n_rays,
+                     cfg.render.width * cfg.render.height)
     k_train, k_render = jax.random.split(key)
     tro, trd = pixel_rays(scene.camera, cfg.train.train_width,
                           cfg.train.train_height)
