@@ -38,7 +38,9 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", 3))
     spp = int(os.environ.get("BENCH_SPP", 1))
     # banded rendering keeps per-dispatch transients bounded; 0 = whole frame
-    default_band = 135 if height % 135 == 0 else 0
+    # (54-row bands: 1920x135 bands crash the remote compile helper's
+    # resource check; 54 compiles and runs cleanly)
+    default_band = 54 if height % 54 == 0 else 0
     band = int(os.environ.get("BENCH_BAND", default_band)) or None
 
     cfg = cfg_mod.progressive_1080p_config()

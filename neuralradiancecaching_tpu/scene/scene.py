@@ -50,8 +50,7 @@ class Scene(NamedTuple):
 
 
 def lightfield_row_width() -> int:
-    from neuralradiancecaching_tpu.ops import lightfield
-    return lightfield.N_THETA * lightfield.N_PHI
+    return 4  # corner-packed tau rows (ops/lightfield.py)
 
 
 def dir_from_zenith_azimuth(zenith: float, azimuth: float) -> np.ndarray:
