@@ -64,6 +64,20 @@ def main():
                                              cfg)
     np.asarray(state.hash_table.sum())
 
+    # auto-tune the query-compaction cap from a measured query fraction
+    # (RenderConfig.query_cap_fraction): probe a band, round up generously
+    from neuralradiancecaching_tpu.render import pathtrace
+    from neuralradiancecaching_tpu.scene.camera import pixel_rays
+    probe_n = min(width * height, width * 64)
+    ro, rd = pixel_rays(scene.camera, width, height)
+    res = pathtrace.trace_path(scene, cfg, ro[:probe_n], rd[:probe_n],
+                               jax.random.PRNGKey(99), use_nn=True)
+    qfrac = float(np.asarray((res.query_weight > 0).mean()))
+    cap = min(1.0, float(np.ceil((qfrac * 2.0 + 0.05) / 0.125) * 0.125))
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render,
+                                        query_cap_fraction=cap))
+
     def run(key):
         if band:
             return render_tiled(state, scene, key, cfg, band_rows=band)
@@ -98,6 +112,8 @@ def main():
         "seconds": round(dt, 3),
         "devices": n_chips,
         "mean_radiance": float(np.asarray(img).mean()),
+        "query_fraction": round(qfrac, 4),
+        "query_cap": cap,
     }
     print(json.dumps(result))
 

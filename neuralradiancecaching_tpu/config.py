@@ -267,6 +267,12 @@ class RenderConfig:
     spp: int = 1
     use_nn: bool = True
     show_non_nn: bool = False  # suppress cache term at RR cut (debug view)
+    # cache-query compaction: evaluate the (128-gather) hash encode + MLP
+    # only for the first `query_cap_fraction * n_rays` querying rays (sorted
+    # to the front). 1.0 = evaluate for every ray (safe default). Callers
+    # that know the query fraction (bench auto-tunes from a warmup frame)
+    # can lower it; queries beyond the cap lose their cache term.
+    query_cap_fraction: float = 1.0
 
 
 @dataclass(frozen=True)

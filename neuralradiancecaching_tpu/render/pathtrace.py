@@ -357,7 +357,22 @@ def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         res = trace_path(scene, cfg, ro, rd, k, use_nn=use_nn)
         rgb = res.scattered
         if use_nn and not cfg.render.show_non_nn:
-            cache = query_fn(res.query_pos, res.query_dir)
+            frac = cfg.render.query_cap_fraction
+            if frac < 1.0:
+                # query compaction: the hash-encode + MLP (the dominant
+                # 128-gathers-per-ray cost) runs only on querying rays,
+                # packed to the front; see RenderConfig.query_cap_fraction
+                capq = min(n, max(1024, int(n * frac)))
+                has_q = res.query_weight > 0.0
+                sel = jnp.argsort(~has_q)[:capq]
+                cache_sel = query_fn(jnp.take(res.query_pos, sel, axis=0),
+                                     jnp.take(res.query_dir, sel, axis=0))
+                cache_sel = jnp.where(jnp.take(has_q, sel)[:, None],
+                                      cache_sel, 0.0)
+                cache = jnp.zeros((n, 3), dtype=rgb.dtype).at[sel].set(
+                    cache_sel)
+            else:
+                cache = query_fn(res.query_pos, res.query_dir)
             rgb = rgb + res.query_weight[:, None] * cache
         return rgb, res.transmittance
 
