@@ -68,9 +68,9 @@ def main():
     # (RenderConfig.query_cap_fraction): probe a band, round up generously
     from neuralradiancecaching_tpu.render import pathtrace
     from neuralradiancecaching_tpu.scene.camera import pixel_rays
-    probe_n = min(width * height, width * 64)
+    stride = max(1, (width * height) // (width * 64))
     ro, rd = pixel_rays(scene.camera, width, height)
-    res = pathtrace.trace_path(scene, cfg, ro[:probe_n], rd[:probe_n],
+    res = pathtrace.trace_path(scene, cfg, ro[::stride], rd[::stride],
                                jax.random.PRNGKey(99), use_nn=True)
     qfrac = float(np.asarray((res.query_weight > 0).mean()))
     cap = min(1.0, float(np.ceil((qfrac * 2.0 + 0.05) / 0.125) * 0.125))
