@@ -334,8 +334,15 @@ def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
 
 
 def progressive_1080p_config() -> "NRCConfig":
-    """Config 5: interactive 1080p progressive render with fly-through."""
+    """Config 5: interactive 1080p progressive render with fly-through.
+
+    The interactive preset trades exactness for speed: the env in-scatter
+    uses the premultiplied T*Env radiance field (one gather per env sample,
+    direction-bucketed env). Config 4 (`nrc_online_config`) keeps the
+    per-sample env lookup for closer reference parity.
+    """
     return NRCConfig(
         camera=CameraConfig(aspect=1920.0 / 1080.0),
+        env_map=EnvMapConfig(transmittance_mode="premultiplied"),
         render=RenderConfig(width=1920, height=1080, use_nn=True),
     )

@@ -176,3 +176,95 @@ def precompute_for_scene(scene, cfg: NRCConfig):
     density)."""
     return build_transmittance_field(scene.density, cfg.volume,
                                      steps=cfg.env_map.transmittance_steps)
+
+
+# ---------------------------------------------------------------------------
+# Premultiplied radiance field: L(vox, dir) = T(vox -> exit, dir) * Env(dir)
+#
+# One 12-float row gather per env sample (the 'premultiplied' env mode)
+# instead of tau row + env row. Bakes the environment at the direction-
+# bucket resolution, so in-scattered env light is angularly blurred to
+# ~11-22 deg -- acceptable for volumetric in-scatter (already an average of
+# 8 HG samples), kept OFF the reference-default config.
+# ---------------------------------------------------------------------------
+
+L_N_THETA = 8
+L_N_PHI = 16
+
+
+@partial(jax.jit, static_argnames=("vol", "steps", "field_shape"))
+def build_radiance_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
+                         vol: VolumeConfig, steps: int = 16,
+                         field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                         ) -> jnp.ndarray:
+    """(V * L_N_THETA * L_N_PHI, 12) rows: the (theta, phi) bilinear patch
+    of T * Env rgb (WITHOUT the hpm strength -- applied at query time)."""
+    nx, ny, nz = field_shape
+    size = jnp.asarray(vol.box_size, jnp.float32)
+    center = jnp.asarray(vol.box_center, jnp.float32)
+    ax = [(jnp.arange(n, dtype=jnp.float32) + 0.5) / n - 0.5
+          for n in field_shape]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * size + center
+
+    th = (jnp.arange(L_N_THETA, dtype=jnp.float32) + 0.5) / L_N_THETA * math.pi
+    ph = ((jnp.arange(L_N_PHI, dtype=jnp.float32) + 0.5) / L_N_PHI * 2.0
+          - 1.0) * math.pi
+    tt, pp = jnp.meshgrid(th, ph, indexing="ij")
+    dirs = _dir_from_theta_phi(tt, pp).reshape(-1, 3)  # (D, 3)
+
+    from neuralradiancecaching_tpu.ops import envmap as envmap_ops
+    # env radiance per bucket center (exact equirect lookup)
+    uv = envmap_ops.dir_to_equirect_uv(dirs)
+    env_rgb = envmap_ops._bilinear_wrap_u(env_image, uv)  # (D, 3)
+
+    def per_dir(args):
+        d, rgb = args
+        dn = jnp.broadcast_to(d, pts.shape)
+        _, exit_p, _ = volume_ops.entry_exit_points(pts, dn, vol.box_size,
+                                                    vol.box_center)
+        t = volume_ops.transmittance(density_field, pts, exit_p, steps, vol)
+        return t[:, None] * rgb  # (V, 3)
+
+    lum = jax.lax.map(per_dir, (dirs, env_rgb))  # (D, V, 3)
+    lum = jnp.transpose(lum, (1, 0, 2)).reshape(-1, L_N_THETA, L_N_PHI, 3)
+
+    c00 = lum
+    c01 = jnp.roll(lum, -1, axis=2)
+    up = jnp.concatenate([lum[:, 1:], lum[:, -1:]], axis=1)
+    c10 = up
+    c11 = jnp.roll(up, -1, axis=2)
+    packed = jnp.concatenate([c00, c01, c10, c11], axis=-1)  # (V,T,P,12)
+    return packed.reshape(-1, 12)
+
+
+def query_radiance_field(field: jnp.ndarray, pos: jnp.ndarray,
+                         d: jnp.ndarray, vol: VolumeConfig,
+                         field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                         ) -> jnp.ndarray:
+    """T*Env rgb seen from pos toward exit along d: one 12-float row gather
+    + (theta, phi) bilinear. (..., 3)."""
+    nx, ny, nz = field_shape
+    uvw = volume_ops.world_to_uvw(pos, vol.box_size, vol.box_center)
+    ijk = jnp.clip((uvw * jnp.asarray(field_shape, uvw.dtype)).astype(
+        jnp.int32), 0, jnp.asarray(field_shape, jnp.int32) - 1)
+    vox = ijk[..., 0] * (ny * nz) + ijk[..., 1] * nz + ijk[..., 2]
+
+    theta, phi = dir_to_theta_phi(d)
+    ft = theta / math.pi * L_N_THETA - 0.5
+    fp = (phi / math.pi + 1.0) * 0.5 * L_N_PHI - 0.5
+    it0 = jnp.floor(ft)
+    ip0 = jnp.floor(fp)
+    wt = jnp.clip(ft - it0, 0.0, 1.0)
+    wt = jnp.where(it0 < 0, 0.0, wt)
+    wp = (fp - ip0)[..., None]
+    it0c = jnp.clip(it0.astype(jnp.int32), 0, L_N_THETA - 1)
+    ip0i = jnp.mod(ip0.astype(jnp.int32), L_N_PHI)
+
+    row_idx = vox * (L_N_THETA * L_N_PHI) + it0c * L_N_PHI + ip0i
+    rows = jnp.take(field, row_idx, axis=0)  # (..., 12)
+    c00, c01 = rows[..., 0:3], rows[..., 3:6]
+    c10, c11 = rows[..., 6:9], rows[..., 9:12]
+    top = c00 + (c01 - c00) * wp
+    bot = c10 + (c11 - c10) * wp
+    return top + (bot - top) * wt[..., None]

@@ -104,9 +104,17 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
         for s in range(n_phase):
             ks = jax.random.fold_in(key, s)
             rnd_dir = phase_ops.sample_hg_direction(ks, direction, vol.hg_g)
-            t = exit_transmittance(pos, rnd_dir)
-            light = envmap_ops.sample_direct(scene.env, rnd_dir, hpm=True)
-            acc = acc + light * t[:, None]
+            if cfg.env_map.transmittance_mode == "premultiplied":
+                # one 12-float row: T * Env baked per (voxel, dir bucket)
+                from neuralradiancecaching_tpu.ops import lightfield
+                acc = acc + scene.env.hpm_strength \
+                    * lightfield.query_radiance_field(scene.env_l_field,
+                                                      pos, rnd_dir, vol)
+            else:
+                t = exit_transmittance(pos, rnd_dir)
+                light = envmap_ops.sample_direct(scene.env, rnd_dir,
+                                                 hpm=True)
+                acc = acc + light * t[:, None]
         for s in range(n_cdf):
             ks = jax.random.fold_in(key, n_phase + s)
             rnd_dir, radiance = envmap_ops.importance_sample(

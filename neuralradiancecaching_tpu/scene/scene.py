@@ -43,10 +43,13 @@ class Scene(NamedTuple):
     dir_light: DirLight
     point_light: PointLight
     env: EnvMap
-    # precomputed exit-transmittance field (ops/lightfield.py), used when
-    # EnvMapConfig.transmittance_mode == 'field'; (1, 128) placeholder when
-    # the exact quadrature mode is selected
+    # precomputed exit-transmittance tau field (ops/lightfield.py), used when
+    # env/path transmittance_mode == 'field'; placeholder row otherwise
     env_t_field: jnp.ndarray
+    # premultiplied T*Env radiance field, used when
+    # EnvMapConfig.transmittance_mode == 'premultiplied'; placeholder row
+    # otherwise
+    env_l_field: jnp.ndarray
 
 
 def lightfield_row_width() -> int:
@@ -90,17 +93,25 @@ def make_scene(cfg: NRCConfig, density: jnp.ndarray,
     assert tuple(density.shape) == tuple(cfg.volume.grid_shape), (
         density.shape, cfg.volume.grid_shape)
     corner_table = volume_ops.build_corner_table(density)
+    env_image = jnp.asarray(env_image, dtype=jnp.float32)
+    from neuralradiancecaching_tpu.ops import lightfield
     if (cfg.env_map.transmittance_mode == "field"
             or cfg.path.transmittance_mode == "field"):
-        from neuralradiancecaching_tpu.ops import lightfield
         env_t_field = lightfield.build_transmittance_field(
             corner_table, cfg.volume, steps=cfg.env_map.transmittance_steps)
     else:
         env_t_field = jnp.zeros((1, lightfield_row_width()), jnp.float32)
+    if cfg.env_map.transmittance_mode == "premultiplied":
+        env_l_field = lightfield.build_radiance_field(
+            corner_table, env_image, cfg.volume,
+            steps=cfg.env_map.transmittance_steps)
+    else:
+        env_l_field = jnp.zeros((1, 12), jnp.float32)
     return Scene(
         density=corner_table,
         density_grid=density,
         env_t_field=env_t_field,
+        env_l_field=env_l_field,
         camera=make_camera(cfg.camera),
         dir_light=make_dir_light(cfg.dir_light),
         point_light=make_point_light(cfg.point_light),

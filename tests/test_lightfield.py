@@ -99,3 +99,22 @@ def test_segment_field_zero_length():
     p = jnp.array([[0.0, 0.0, 0.0]])
     t = lightfield.segment_transmittance_field(field, p, p, vol)
     np.testing.assert_allclose(np.asarray(t), 1.0)
+
+
+def test_premultiplied_mode_agrees():
+    """'premultiplied' T*Env rows vs separate field-T + exact env lookup."""
+    cfg_f = tiny_config(use_nn=False)
+    cfg_p = dataclasses.replace(
+        cfg_f, env_map=dataclasses.replace(
+            cfg_f.env_map, transmittance_mode="premultiplied"))
+    scene_f = tiny_scene(cfg_f)
+    scene_p = tiny_scene(cfg_p)
+    ro, rd = pixel_rays(scene_f.camera, 8, 8)
+    rgb_f, _ = pathtrace.render_image(scene_f, cfg_f, ro, rd,
+                                      jax.random.PRNGKey(3))
+    rgb_p, _ = pathtrace.render_image(scene_p, cfg_p, ro, rd,
+                                      jax.random.PRNGKey(3))
+    a, b = np.asarray(rgb_f), np.asarray(rgb_p)
+    denom = np.abs(a).mean() + 1e-6
+    # same paths; env radiance direction-bucketed -> modest deviation
+    assert np.abs(a - b).mean() / denom < 0.15
