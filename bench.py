@@ -35,7 +35,7 @@ def main():
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    frames = int(os.environ.get("BENCH_FRAMES", 3))
+    frames = int(os.environ.get("BENCH_FRAMES", 5))
     spp = int(os.environ.get("BENCH_SPP", 1))
     # banded rendering keeps per-dispatch transients bounded; 0 = whole frame
     # (54-row bands: 1920x135 bands crash the remote compile helper's

@@ -336,13 +336,12 @@ def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
 def progressive_1080p_config() -> "NRCConfig":
     """Config 5: interactive 1080p progressive render with fly-through.
 
-    The interactive preset trades exactness for speed: the env in-scatter
-    uses the premultiplied T*Env radiance field (one gather per env sample,
-    direction-bucketed env). Config 4 (`nrc_online_config`) keeps the
-    per-sample env lookup for closer reference parity.
+    (A 'premultiplied' T*Env env mode exists but measured ~2% SLOWER than
+    the tau-field + exact-env pair at equal sample counts -- 48-byte rows
+    gather no faster than two small rows -- so the default stays 'field';
+    see docs/PERFORMANCE.md.)
     """
     return NRCConfig(
         camera=CameraConfig(aspect=1920.0 / 1080.0),
-        env_map=EnvMapConfig(transmittance_mode="premultiplied"),
         render=RenderConfig(width=1920, height=1080, use_nn=True),
     )
