@@ -38,9 +38,10 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", 5))
     spp = int(os.environ.get("BENCH_SPP", 1))
     # banded rendering keeps per-dispatch transients bounded; 0 = whole frame
-    # (54-row bands: 1920x135 bands crash the remote compile helper's
-    # resource check; 54 compiles and runs cleanly)
-    default_band = 54 if height % 54 == 0 else 0
+    # (measured: 108-row bands fastest; 135-row bands crash the remote
+    # compile helper's resource check; 216 is slower)
+    default_band = 108 if height % 108 == 0 else (54 if height % 54 == 0
+                                                  else 0)
     band = int(os.environ.get("BENCH_BAND", default_band)) or None
 
     cfg = cfg_mod.progressive_1080p_config()
@@ -73,7 +74,7 @@ def main():
     res = pathtrace.trace_path(scene, cfg, ro[::stride], rd[::stride],
                                jax.random.PRNGKey(99), use_nn=True)
     qfrac = float(np.asarray((res.query_weight > 0).mean()))
-    cap = min(1.0, float(np.ceil((qfrac * 2.0 + 0.05) / 0.125) * 0.125))
+    cap = min(1.0, float(np.ceil((qfrac * 1.6 + 0.02) / 0.125) * 0.125))
     cfg = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render,
                                         query_cap_fraction=cap))

@@ -75,6 +75,25 @@ def query(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
     return mlp_ops.apply(state.mlp_params, x, cfg.mlp)
 
 
+def bake(state: NRCState, cfg: NRCConfig) -> jnp.ndarray:
+    """Dense-bake the low-res MRHE levels for the fast query path
+    (ops/mrhe.py bake_dense); call after each optimizer step."""
+    return mrhe_ops.bake_dense(state.hash_table, cfg.mrhe)
+
+
+def query_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,
+                direction: jnp.ndarray, cfg: NRCConfig) -> jnp.ndarray:
+    """Cache inference via the dense-baked low-res levels: ~1.6x fewer
+    gathers than :func:`query`; numerically identical for in-box positions."""
+    pos_norm = mrhe_ops.normalize_pos(pos, cfg.volume.box_size,
+                                      cfg.volume.box_center)
+    mrhe_feats = mrhe_ops.encode_with_baked(state.hash_table, baked,
+                                            pos_norm, cfg.mrhe, cfg.quirks)
+    blob_feats = oneblob_ops.encode_dir(direction, cfg.oneblob, cfg.quirks)
+    x = jnp.concatenate([mrhe_feats, blob_feats], axis=-1)
+    return mlp_ops.apply(state.mlp_params, x, cfg.mlp)
+
+
 def compute_grads(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
                   target: jnp.ndarray, cfg: NRCConfig):
     """Batch-mean gradients + MSE stat (the nrc-train.comp Backprop pass,

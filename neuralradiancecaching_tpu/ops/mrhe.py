@@ -165,6 +165,147 @@ def _encode_bwd(cfg, quirks, residuals, g):
 encode.defvjp(_encode_fwd, _encode_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Dense-baked low-resolution levels (inference fast path)
+#
+# The encode costs 8 hash-row gathers per level per query -- the single
+# hottest kernel in the renderer (measured). For levels whose grid is small
+# (res <= DENSE_MAX_RES) the hash table can be BAKED into a dense
+# corner-packed grid after each optimizer step: one 8*F-float row gather
+# then yields the whole trilinear patch, like the density corner table.
+# Training always uses the pure hash path (gradients flow into the hash
+# table); the bake is a cheap per-frame projection (~0.6M hash lookups).
+# ---------------------------------------------------------------------------
+
+DENSE_MAX_RES = 64
+
+
+def dense_level_count(cfg: MRHEConfig) -> int:
+    """Number of leading levels with resolution <= DENSE_MAX_RES."""
+    if cfg.n_dims != 3:
+        return 0
+    res = resolutions(cfg)
+    return int(np.sum(res <= DENSE_MAX_RES))
+
+
+def dense_level_offsets(cfg: MRHEConfig):
+    """(offsets, sizes) of each dense level's row block; rows are base cells
+    in [0, res]^3 (covering resPos in [0, res] for pos_norm in [0,1])."""
+    res = resolutions(cfg)
+    n = dense_level_count(cfg)
+    sizes = [(int(r) + 1) ** 3 for r in res[:n]]
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    return offsets, sizes
+
+
+@partial(jax.jit, static_argnums=(1,))
+def bake_dense(table: jnp.ndarray, cfg: MRHEConfig) -> jnp.ndarray:
+    """(R_total, 8*F) corner-packed rows for all dense levels, concatenated.
+
+    Row for base cell b of level l = the 8 corner feature vectors
+    table[l, hash(b + offset)] in x-major corner order.
+    """
+    res = resolutions(cfg)
+    n = dense_level_count(cfg)
+    blocks = []
+    for l in range(n):
+        r = int(res[l])
+        side = r + 2  # corner coords span [0, res+1]
+        ax = jnp.arange(side, dtype=jnp.int32)
+        cx, cy, cz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+        coords = jnp.stack([cx, cy, cz], axis=-1)  # (side,side,side,3)
+        idx = hash_coords(coords, cfg.table_size)
+        grid = jnp.take(table[l], idx.reshape(-1), axis=0).reshape(
+            side, side, side, cfg.n_features)
+        # pack the 8 corners per base cell (base in [0, res]^3)
+        slices = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    slices.append(grid[dx:dx + r + 1, dy:dy + r + 1,
+                                       dz:dz + r + 1])
+        packed = jnp.concatenate(slices, axis=-1)  # (r+1,r+1,r+1, 8*F)
+        blocks.append(packed.reshape(-1, 8 * cfg.n_features))
+    if not blocks:
+        return jnp.zeros((1, 8 * cfg.n_features), dtype=table.dtype)
+    return jnp.concatenate(blocks, axis=0)
+
+
+def encode_with_baked(table: jnp.ndarray, baked: jnp.ndarray,
+                      pos_norm: jnp.ndarray, cfg: MRHEConfig,
+                      quirks: QuirkFlags) -> jnp.ndarray:
+    """Inference encode: dense levels from the baked rows (1 gather/level),
+    remaining levels from the hash table (8 gathers/level). Numerically
+    identical to :func:`encode` for in-range positions (tested)."""
+    n_dense = dense_level_count(cfg)
+    if n_dense == 0 or quirks.world_space_lerp:
+        return encode(table, pos_norm, cfg, quirks, pos_raw=None)
+
+    res_all = resolutions(cfg)
+    offsets, _ = dense_level_offsets(cfg)
+    feats_dense = []
+    for l in range(n_dense):
+        r = int(res_all[l])
+        x = pos_norm * r  # (..., 3)
+        x0 = jnp.floor(x)
+        frac = x - x0
+        b = jnp.clip(x0.astype(jnp.int32), 0, r)  # base in [0, res]
+        flat = (int(offsets[l]) + b[..., 0] * ((r + 1) * (r + 1))
+                + b[..., 1] * (r + 1) + b[..., 2])
+        rows = jnp.take(baked, flat, axis=0)  # (..., 8*F)
+        rows = rows.reshape(*rows.shape[:-1], 8, cfg.n_features)
+        fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+        gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+        w = jnp.stack([gx * gy * gz, gx * gy * fz, gx * fy * gz,
+                       gx * fy * fz, fx * gy * gz, fx * gy * fz,
+                       fx * fy * gz, fx * fy * fz], axis=-1)
+        feats_dense.append(jnp.sum(rows * w[..., None], axis=-2))
+
+    dense = jnp.concatenate(feats_dense, axis=-1)  # (..., n_dense*F)
+    if n_dense == cfg.n_levels:
+        return dense
+
+    # hashed tail levels through the standard path
+    tail_cfg = MRHEConfig(
+        n_levels=cfg.n_levels - n_dense, table_size=cfg.table_size,
+        n_features=cfg.n_features, min_res=int(res_all[n_dense]),
+        max_res=cfg.max_res, init_std=cfg.init_std,
+        learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay,
+        clip_border=cfg.clip_border, reset_border=cfg.reset_border,
+        n_dims=cfg.n_dims)
+    # NOTE: tail levels must use the ORIGINAL resolution schedule, not a
+    # re-derived one -- pass them explicitly via the prep override below.
+    tail = _encode_tail(table[n_dense:], pos_norm, res_all[n_dense:],
+                        tail_cfg)
+    return jnp.concatenate([dense, tail], axis=-1)
+
+
+def _encode_tail(tables_tail: jnp.ndarray, pos_norm: jnp.ndarray,
+                 res_tail, cfg_tail: MRHEConfig) -> jnp.ndarray:
+    """Hash-path encode over an explicit resolution list (no grad path --
+    inference only)."""
+    res = jnp.asarray(np.asarray(res_tail, dtype=np.int32),
+                      dtype=pos_norm.dtype)
+    x = pos_norm[..., None, :] * res[:, None]
+    x0 = jnp.floor(x)
+    frac = x - x0
+    offsets = jnp.asarray(_corner_offsets(cfg_tail.n_dims))
+    corners = x0[..., None, :].astype(jnp.int32) + offsets
+    idx = hash_coords(corners, cfg_tail.table_size)
+    w = jnp.where(offsets.astype(bool), frac[..., None, :],
+                  1.0 - frac[..., None, :])
+    weights = jnp.prod(w, axis=-1)
+    n_tail = len(res_tail)
+    level_base = (jnp.arange(n_tail, dtype=jnp.int32)
+                  * cfg_tail.table_size)[:, None]
+    flat_idx = idx + level_base
+    flat_table = tables_tail.reshape(-1, cfg_tail.n_features)
+    gathered = jnp.take(flat_table, flat_idx, axis=0)
+    feats = jnp.sum(weights[..., None] * gathered, axis=-2)
+    return feats.reshape(*pos_norm.shape[:-1],
+                         n_tail * cfg_tail.n_features)
+
+
 def normalize_pos(pos: jnp.ndarray, box_size, box_center) -> jnp.ndarray:
     """World position -> [0,1]^3 (EncodePosMrhe normPos, nrc-train.comp:268)."""
     size = jnp.asarray(box_size, dtype=pos.dtype)

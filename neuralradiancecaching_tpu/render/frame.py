@@ -46,9 +46,10 @@ def frame_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
                                     batch.target, cfg)
 
     ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+    baked = nrc.bake(state, cfg)
 
     def query_fn(qpos, qdir):
-        return nrc.query(state, qpos, qdir, cfg)
+        return nrc.query_baked(state, baked, qpos, qdir, cfg)
 
     rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, k_render,
                                     query_fn=query_fn)
@@ -69,9 +70,10 @@ def render_only_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
                      cfg: NRCConfig) -> jnp.ndarray:
     """Render pass alone (converged-cache benchmarking)."""
     ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+    baked = nrc.bake(state, cfg)
 
     def query_fn(qpos, qdir):
-        return nrc.query(state, qpos, qdir, cfg)
+        return nrc.query_baked(state, baked, qpos, qdir, cfg)
 
     rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, key,
                                     query_fn=query_fn)

@@ -18,10 +18,11 @@ from neuralradiancecaching_tpu.scene.scene import Scene
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _render_band(state: nrc.NRCState, scene: Scene, key: jax.Array,
-                 ro: jnp.ndarray, rd: jnp.ndarray, cfg: NRCConfig):
+def _render_band(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
+                 key: jax.Array, ro: jnp.ndarray, rd: jnp.ndarray,
+                 cfg: NRCConfig):
     def query_fn(qpos, qdir):
-        return nrc.query(state, qpos, qdir, cfg)
+        return nrc.query_baked(state, baked, qpos, qdir, cfg)
 
     rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, key,
                                     query_fn=query_fn)
@@ -36,10 +37,11 @@ def render_tiled(state: nrc.NRCState, scene: Scene, key: jax.Array,
     ro = ro.reshape(h, w, 3)
     rd = rd.reshape(h, w, 3)
     assert h % band_rows == 0, (h, band_rows)
+    baked = nrc.bake(state, cfg)  # once per frame, shared by all bands
     out = np.zeros((h, w, 3), dtype=np.float32)
     for y0 in range(0, h, band_rows):
         kb = jax.random.fold_in(key, y0)
-        band = _render_band(state, scene, kb,
+        band = _render_band(state, baked, scene, kb,
                             ro[y0:y0 + band_rows].reshape(-1, 3),
                             rd[y0:y0 + band_rows].reshape(-1, 3), cfg)
         out[y0:y0 + band_rows] = np.asarray(band).reshape(band_rows, w, 3)

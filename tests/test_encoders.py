@@ -202,3 +202,34 @@ def test_oneblob_batched_shape():
     feats = oneblob.encode_dir(dirs, cfg, FIXED)
     assert feats.shape == (4, 5, 32)
     assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_baked_encode_matches_hash_encode():
+    """Dense-baked low-res levels must reproduce the hash-path encode
+    exactly for in-range positions."""
+    import jax
+    from neuralradiancecaching_tpu.ops.mrhe import (bake_dense,
+                                                    dense_level_count,
+                                                    encode_with_baked)
+    cfg = MRHEConfig()  # 16 levels, 16..512 -> 7 dense levels at <=64
+    assert dense_level_count(cfg) == 7
+    table = mrhe.init_table(jax.random.PRNGKey(5), cfg)
+    baked = bake_dense(table, cfg)
+    pos = jax.random.uniform(jax.random.PRNGKey(6), (128, 3))
+    a = mrhe.encode(table, pos, cfg, FIXED)
+    b = encode_with_baked(table, baked, pos, cfg, FIXED)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_baked_encode_boundary_positions():
+    import jax
+    from neuralradiancecaching_tpu.ops.mrhe import bake_dense, encode_with_baked
+    cfg = MRHEConfig(n_levels=3, min_res=4, max_res=16, table_size=512)
+    table = mrhe.init_table(jax.random.PRNGKey(7), cfg)
+    baked = bake_dense(table, cfg)
+    pos = jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.5, 1.0, 0.0]])
+    a = mrhe.encode(table, pos, cfg, FIXED)
+    b = encode_with_baked(table, baked, pos, cfg, FIXED)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
