@@ -80,6 +80,29 @@ def _build_scene(cfg):
     return make_scene(cfg, assets.load_cloud(), assets.load_env_map())
 
 
+def _band_rows(width: int, height: int) -> int | None:
+    """Band height for tiled rendering of large frames (whole-frame
+    programs beyond ~1M rays can crash the remote compile helper)."""
+    if width * height <= 512 * 512:
+        return None
+    for rows in (108, 54, 64, 32, 16):
+        if height % rows == 0:
+            return rows
+    return None
+
+
+def _render_frame(state, scene, key, cfg):
+    """Render one frame, banded when large. Returns np (H, W, 3)."""
+    import jax
+    from neuralradiancecaching_tpu.render import frame as frame_mod
+    from neuralradiancecaching_tpu.render.tiled import render_tiled
+    band = _band_rows(cfg.render.width, cfg.render.height)
+    if band:
+        return render_tiled(state, scene, key, cfg, band_rows=band)
+    img = frame_mod.render_only_step(state, scene, key, cfg)
+    return np.asarray(img)
+
+
 def cmd_pathtrace(args) -> None:
     import jax
     from neuralradiancecaching_tpu import config as cfg_mod
@@ -92,9 +115,7 @@ def cmd_pathtrace(args) -> None:
     scene = _build_scene(cfg)
     state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
     t0 = time.perf_counter()
-    img = frame_mod.render_only_step(state, scene,
-                                     jax.random.PRNGKey(args.seed), cfg)
-    img = np.asarray(img)
+    img = _render_frame(state, scene, jax.random.PRNGKey(args.seed), cfg)
     print(f"pathtrace: {args.width}x{args.height} spp={args.spp} "
           f"{time.perf_counter() - t0:.2f}s mean={img.mean():.4f}")
     _save_frame(args.out, "pathtrace", img)
@@ -119,13 +140,23 @@ def cmd_nrc_online(args) -> None:
 
     log = MetricsLogger(args.metrics)
     img = None
+    big = _band_rows(args.width, args.height) is not None
     for i in range(args.frames):
         t0 = time.perf_counter()
-        state, out = frame_mod.frame_step(
-            state, scene, jax.random.PRNGKey(args.seed * 7919 + i), cfg)
-        img = np.asarray(out.image)
+        key = jax.random.PRNGKey(args.seed * 7919 + i)
+        if big:
+            # large frames: separate train pass + banded render (one huge
+            # fused frame program can crash the remote compile helper)
+            k1, k2 = jax.random.split(key)
+            state, mse = frame_mod.train_only_step(state, scene, k1, cfg)
+            img = _render_frame(state, scene, k2, cfg)
+            out_mse = float(np.asarray(mse))
+        else:
+            state, out = frame_mod.frame_step(state, scene, key, cfg)
+            img = np.asarray(out.image)
+            out_mse = float(out.mse)
         dt = time.perf_counter() - t0
-        row = log.log(i, mse=float(out.mse), frame_s=round(dt, 3),
+        row = log.log(i, mse=out_mse, frame_s=round(dt, 3),
                       mrays_s=round(args.width * args.height / dt / 1e6, 4))
         # reference logs MSE every 25 frames (src/main.cpp:220-224)
         if i % max(args.frames // 8, 1) == 0 or i == args.frames - 1:
@@ -177,15 +208,22 @@ def cmd_progressive(args) -> None:
             accum[:] = 0.0
             n_accum = 0
         t0 = time.perf_counter()
-        state, out = frame_mod.frame_step(
-            state, scene, jax.random.PRNGKey(args.seed * 31 + i), cfg)
-        img = np.asarray(out.image)
+        key = jax.random.PRNGKey(args.seed * 31 + i)
+        if _band_rows(args.width, args.height) is not None:
+            k1, k2 = jax.random.split(key)
+            state, mse = frame_mod.train_only_step(state, scene, k1, cfg)
+            img = _render_frame(state, scene, k2, cfg)
+            mse = float(np.asarray(mse))
+        else:
+            state, out = frame_mod.frame_step(state, scene, key, cfg)
+            img = np.asarray(out.image)
+            mse = float(out.mse)
         dt = time.perf_counter() - t0
         accum = (accum * n_accum + img) / (n_accum + 1)
         n_accum += 1
-        log.log(i, mse=float(out.mse), frame_s=round(dt, 3),
+        log.log(i, mse=mse, frame_s=round(dt, 3),
                 mrays_s=round(args.width * args.height / dt / 1e6, 4))
-        print(f"frame {i}: {dt:.2f}s mse={float(out.mse):.5f}")
+        print(f"frame {i}: {dt:.2f}s mse={mse:.5f}")
     _save_frame(args.out, "progressive", accum)
 
 
