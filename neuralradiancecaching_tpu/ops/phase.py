@@ -62,6 +62,21 @@ def orthonormal_basis(d: jnp.ndarray):
     return t, b
 
 
+def hg_direction_from_uniforms(u_cos: jnp.ndarray, u_phi: jnp.ndarray,
+                               old_dir: jnp.ndarray, g) -> jnp.ndarray:
+    """NewRayDir core with caller-provided uniforms (lets hot loops draw
+    all randomness in one batched threefry call)."""
+    old_dir = old_dir / jnp.linalg.norm(old_dir, axis=-1, keepdims=True)
+    cos_t = sample_hg_cos_theta(u_cos, g)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = u_phi * (2.0 * math.pi)
+    t, b = orthonormal_basis(old_dir)
+    new_dir = (cos_t[..., None] * old_dir
+               + (sin_t * jnp.cos(phi))[..., None] * t
+               + (sin_t * jnp.sin(phi))[..., None] * b)
+    return new_dir / jnp.linalg.norm(new_dir, axis=-1, keepdims=True)
+
+
 def sample_hg_direction(key: jax.Array, old_dir: jnp.ndarray, g
                         ) -> jnp.ndarray:
     """NewRayDir (nrc-train.comp:436-471): scatter old_dir by an HG-sampled
@@ -70,18 +85,11 @@ def sample_hg_direction(key: jax.Array, old_dir: jnp.ndarray, g
     old_dir: (..., 3) unit directions; returns (..., 3) unit directions.
     Batched: one key, uniforms drawn per element.
     """
-    old_dir = old_dir / jnp.linalg.norm(old_dir, axis=-1, keepdims=True)
     k_ct, k_phi = jax.random.split(key)
     u = jax.random.uniform(k_ct, old_dir.shape[:-1], dtype=old_dir.dtype)
-    cos_t = sample_hg_cos_theta(u, g)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-    phi = jax.random.uniform(k_phi, old_dir.shape[:-1],
-                             dtype=old_dir.dtype) * (2.0 * math.pi)
-    t, b = orthonormal_basis(old_dir)
-    new_dir = (cos_t[..., None] * old_dir
-               + (sin_t * jnp.cos(phi))[..., None] * t
-               + (sin_t * jnp.sin(phi))[..., None] * b)
-    return new_dir / jnp.linalg.norm(new_dir, axis=-1, keepdims=True)
+    u_phi = jax.random.uniform(k_phi, old_dir.shape[:-1],
+                               dtype=old_dir.dtype)
+    return hg_direction_from_uniforms(u, u_phi, old_dir, g)
 
 
 def uniform_sphere(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:

@@ -219,15 +219,17 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     )
     slot_iota = jnp.arange(k_slots, dtype=jnp.int32)[None, :]  # (1, K)
 
-    def step(s: S, i):
-        k = jax.random.fold_in(key, i)
-        k_rr, k_dir, k_dist = jax.random.split(k, 3)
+    def step(s: S, u_step):
+        # all march randomness drawn in ONE batched threefry call up front
+        # (32x fewer PRNG dispatches than per-step fold/split)
+        u_rr, u_hg1, u_hg2, u_d = (u_step[0], u_step[1], u_step[2],
+                                   u_step[3])
 
         density = volume_ops.density_at(scene.density, s.cur_pos, vol)
         has_density = (density > 0.0) & ~s.done
 
         if use_nn:
-            u = jax.random.uniform(k_rr, (n,), dtype=dtype)
+            u = u_rr
             terminate = has_density & (u > s.term_prob)
             if cfg.quirks.query_dir_phase:
                 # reference frag:785-786 (see QuirkFlags.query_dir_phase)
@@ -261,22 +263,24 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
         last_pos = jnp.where(scatter[:, None], s.cur_pos, s.last_pos)
         last_dir = jnp.where(scatter[:, None], s.cur_dir, s.last_dir)
-        new_dir = phase_ops.sample_hg_direction(k_dir, s.cur_dir, vol.hg_g)
+        new_dir = phase_ops.hg_direction_from_uniforms(u_hg1, u_hg2,
+                                                       s.cur_dir, vol.hg_g)
         cur_dir = jnp.where(scatter[:, None], new_dir, s.cur_dir)
 
         # advance (frag:814-818): U(0, step_fraction * dist_to_exit)
         _, t_exit, _ = volume_ops.ray_aabb(s.cur_pos, cur_dir, vol.box_size,
                                            vol.box_center)
         max_dist = jnp.maximum(t_exit, 0.0) * pt.step_fraction
-        u2 = jax.random.uniform(k_dist, (n,), dtype=dtype)
         cur_pos = jnp.where(done[:, None], s.cur_pos,
-                            s.cur_pos + cur_dir * (u2 * max_dist)[:, None])
+                            s.cur_pos + cur_dir * (u_d * max_dist)[:, None])
 
         return S(cur_pos, last_pos, cur_dir, last_dir, term_prob, done, cnt,
                  has_query, q_pos, q_dir, q_phase, ev_pos, ev_prev, ev_dir,
                  ev_dens), None
 
-    s, _ = jax.lax.scan(step, init, jnp.arange(max_bounces))
+    u_march = jax.random.uniform(jax.random.fold_in(key, 0),
+                                 (max_bounces, 4, n), dtype=dtype)
+    s, _ = jax.lax.scan(step, init, u_march)
 
     # ---- Phase 2: shade the recorded events ----
     valid = slot_iota < s.cnt[:, None]  # (N, K)
