@@ -235,9 +235,9 @@ class PathTraceConfig:
     # cross-ray scatter-event compaction for the shading phase (NN mode):
     # shade only the valid events, packed to the front by a sort, capped at
     # `compact_events` events per ray on average (expected count is ~2.2
-    # under the RR schedule; overflow probability at 3.0 is negligible by
-    # CLT over the ray batch). 0 disables (shade all N*K slots).
-    compact_events: float = 3.0
+    # under the RR schedule; the cap sits tens of sigma above the batch
+    # mean by CLT). 0 disables (shade all N*K slots).
+    compact_events: float = 2.6
 
 
 @dataclass(frozen=True)
