@@ -60,8 +60,11 @@ def _local_train_grads(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
 def _local_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
                   cfg: NRCConfig, ro, rd) -> jnp.ndarray:
+    # dense-bake once per device (replicated state -> identical bake)
+    baked = nrc.bake(state, cfg)
+
     def query_fn(qpos, qdir):
-        return nrc.query(state, qpos, qdir, cfg)
+        return nrc.query_baked(state, baked, qpos, qdir, cfg)
 
     rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, _device_key(key),
                                     query_fn=query_fn)
