@@ -76,10 +76,8 @@ def choose_train_vertices(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
              done=jnp.zeros((n,), dtype=bool),
              did_scatter=jnp.zeros((n,), dtype=bool))
 
-    def step(s: S, i):
-        k = jax.random.fold_in(key, i)
-        k_rr, k_dir, k_dist = jax.random.split(k, 3)
-        u = jax.random.uniform(k_rr, (n,), dtype=dtype)
+    def step(s: S, u_step):
+        u, u_hg1, u_hg2, u2 = (u_step[0], u_step[1], u_step[2], u_step[3])
         # break BEFORE the bounce (train :1192-1196)
         stop = (u > s.term_prob) & ~s.done
         done = s.done | stop
@@ -87,18 +85,20 @@ def choose_train_vertices(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
         density = volume_ops.density_at(scene.density, s.pos, vol)
         scatter = (density > 0.0) & ~done
-        new_dir = phase_ops.sample_hg_direction(k_dir, s.dir, vol.hg_g)
+        new_dir = phase_ops.hg_direction_from_uniforms(u_hg1, u_hg2, s.dir,
+                                                       vol.hg_g)
         d = jnp.where(scatter[:, None], new_dir, s.dir)
         did_scatter = s.did_scatter | scatter
 
         _, t_exit, _ = volume_ops.ray_aabb(s.pos, d, vol.box_size,
                                            vol.box_center)
-        u2 = jax.random.uniform(k_dist, (n,), dtype=dtype)
         dist = u2 * jnp.maximum(t_exit, 0.0) * pt.step_fraction
         pos = jnp.where(done[:, None], s.pos, s.pos + d * dist[:, None])
         return S(pos, d, term_prob, done, did_scatter), None
 
-    final, _ = jax.lax.scan(step, init, jnp.arange(cfg.train.target_bounces))
+    u_walk = jax.random.uniform(key, (cfg.train.target_bounces, 4, n),
+                                dtype=dtype)
+    final, _ = jax.lax.scan(step, init, u_walk)
 
     # never-scattered fallback (train :1211-1215)
     fallback_dir = -entry / jnp.maximum(
