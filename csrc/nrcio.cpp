@@ -50,7 +50,10 @@ int nrc_hdr_decode(const uint8_t* data, int64_t size, int width, int height,
             for (int i = 0; i < count; ++i) row[(x + i) * 4 + c] = v;
             x += count;
           } else {  // literal
-            if (bp + count > size || x + count > width) return 1;
+            // count==0 would consume bytes without advancing x; a valid
+            // encoder never emits it -- treat as corrupt input
+            if (count == 0 || bp + count > size || x + count > width)
+              return 1;
             for (int i = 0; i < count; ++i) row[(x + i) * 4 + c] = data[bp++];
             x += count;
           }

@@ -135,7 +135,8 @@ def cmd_nrc_online(args) -> None:
     scene = _build_scene(cfg)
     state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
     if args.resume:
-        state = checkpoint.load(args.resume, state)
+        state = checkpoint.load(args.resume, state,
+                                expect_config_hash=checkpoint.config_hash(cfg))
         print(f"resumed from {args.resume}")
 
     log = MetricsLogger(args.metrics)
@@ -165,7 +166,8 @@ def cmd_nrc_online(args) -> None:
         _save_frame(args.out, "nrc_online", img)
     if args.checkpoint:
         checkpoint.save(args.checkpoint, state,
-                        metadata={"frames": args.frames, "seed": args.seed})
+                        metadata={"frames": args.frames, "seed": args.seed,
+                                  "config_hash": checkpoint.config_hash(cfg)})
         print(f"checkpoint -> {args.checkpoint}")
 
 
@@ -227,11 +229,26 @@ def cmd_progressive(args) -> None:
     _save_frame(args.out, "progressive", accum)
 
 
-def main(argv=None) -> None:
-    from neuralradiancecaching_tpu.utils import setup_cache
-    setup_cache()
+def _apply_platform(platform: str | None) -> None:
+    """Pin the JAX platform before first backend use.
 
+    In this environment jax is pre-imported at interpreter startup with
+    JAX_PLATFORMS=axon, so setting the env var from a test subprocess is
+    ignored -- the override must go through jax.config (same as
+    tests/conftest.py). `--platform`/NRC_PLATFORM makes CLI subprocesses
+    (e.g. tests) actually run on CPU instead of silently landing on the TPU.
+    """
+    platform = platform or os.environ.get("NRC_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="neuralradiancecaching_tpu")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (cpu/axon/tpu); also "
+                        "settable via NRC_PLATFORM")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("mnist", help="BASELINE config 1")
@@ -271,6 +288,9 @@ def main(argv=None) -> None:
     sp.set_defaults(fn=cmd_progressive)
 
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
+    from neuralradiancecaching_tpu.utils import setup_cache
+    setup_cache()
     args.fn(args)
 
 

@@ -213,6 +213,23 @@ class EnvMapConfig:
     transmittance_mode: str = "field"
 
 
+def rr_mean_events(rr_decay: float, max_bounces: int) -> float:
+    """Expected scatter events per ray under the reference's RR schedule.
+
+    The walk continues past bounce k with probability rr_decay**k
+    (termProb *= 0.5 each bounce, nrc-forward.frag:781-791), so the expected
+    event count is sum_k prod_{j<k} rr_decay**j -- an upper bound, since rays
+    that exit the volume terminate earlier still.
+    """
+    total, surv = 0.0, 1.0
+    for k in range(max_bounces):
+        total += surv  # survival to event k+1 = prod_{j<=k} rr_decay**j
+        surv *= rr_decay ** (k + 1) if rr_decay > 0 else 0.0
+        if surv < 1e-6:
+            break
+    return total
+
+
 @dataclass(frozen=True)
 class PathTraceConfig:
     """Path-trace loop bounds (shader #defines).
@@ -234,10 +251,26 @@ class PathTraceConfig:
     transmittance_mode: str = "field"
     # cross-ray scatter-event compaction for the shading phase (NN mode):
     # shade only the valid events, packed to the front by a sort, capped at
-    # `compact_events` events per ray on average (expected count is ~2.2
-    # under the RR schedule; the cap sits tens of sigma above the batch
-    # mean by CLT). 0 disables (shade all N*K slots).
+    # `compact_events` events per ray on average. NOTE: overflow drops are
+    # NOT CLT noise -- valid events beyond the cap get t_r=1/light=0
+    # deterministically, and the stable argsort clusters the drops on the
+    # highest-index rays (bottom of the image/band) -- so the cap must sit
+    # well above the RR-implied mean (validated in __post_init__). 0
+    # disables (shade all N*K slots).
     compact_events: float = 2.6
+
+    def __post_init__(self):
+        if self.compact_events > 0:
+            mean = rr_mean_events(self.rr_decay, self.max_bounces)
+            needed = mean * 1.25 + 0.5
+            if self.compact_events < needed:
+                raise ValueError(
+                    f"compact_events={self.compact_events} is below the "
+                    f"safety margin {needed:.2f} for rr_decay="
+                    f"{self.rr_decay} (RR-implied mean {mean:.2f} scatter "
+                    f"events/ray); overflow drops are deterministic and "
+                    f"spatially clustered, not noise -- raise "
+                    f"compact_events or set it to 0 to disable compaction")
 
 
 @dataclass(frozen=True)
@@ -331,6 +364,34 @@ def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
     default workload, src/main.cpp:109-166)."""
     return NRCConfig(render=RenderConfig(width=width, height=height,
                                          use_nn=True))
+
+
+def reference_exact(width: int = 800, height: int = 800) -> "NRCConfig":
+    """Bit-faithful reproduction of the reference's numerical behavior, for
+    parity/regression comparisons (ADVICE r1): every QuirkFlags bug enabled,
+    exact quadrature transmittance everywhere, train targets without env
+    light (the reference's TraceScene comments env sampling out,
+    nrc-train.comp:1116-1120), dead-code CDF branch, and no compaction caps.
+
+    Statistical (not bitwise) fidelity only where RNG is involved: the
+    reference's fract-sin RNG is replaced by threefry (SURVEY.md §7).
+    """
+    return NRCConfig(
+        camera=CameraConfig(aspect=width / height),
+        render=RenderConfig(width=width, height=height, use_nn=True,
+                            query_cap_fraction=1.0),
+        path=PathTraceConfig(transmittance_mode="quadrature",
+                             compact_events=0.0),
+        env_map=EnvMapConfig(transmittance_mode="quadrature",
+                             cdf_fraction=0.0),
+        train=TrainConfig(env_samples=0),
+        quirks=QuirkFlags(world_space_lerp=True,
+                          duplicated_feature_grad=True,
+                          raw_oneblob=True,
+                          quantize_density_8bit=True,
+                          raw_envmap_dir=True,
+                          query_dir_phase=True),
+    )
 
 
 def progressive_1080p_config() -> "NRCConfig":

@@ -72,6 +72,12 @@ def read_hdr(path: str) -> np.ndarray:
                     bp += 1
                     x += count - 128
                 else:  # literal
+                    if count == 0:
+                        # a zero-count packet never advances x; treat as a
+                        # corrupt/truncated file instead of spinning forever
+                        raise ValueError(
+                            f"corrupt HDR RLE scanline (zero-count packet) "
+                            f"at y={y}")
                     out[y, x:x + count, c] = buf[bp:bp + count]
                     bp += count
                     x += count

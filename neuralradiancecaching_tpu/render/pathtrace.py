@@ -295,12 +295,16 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                                         pt.transmittance_steps, vol)
 
     if use_nn and cfg.path.compact_events > 0:
-        # Cross-ray compaction: with Russian roulette only ~2.2 of the K
+        # Cross-ray compaction: with Russian roulette only ~1.6-2.2 of the K
         # slots per ray are real events, so sort the valid events to the
         # front and shade a capped dense batch. Unselected slots keep
         # t_r = 1 / light = 0, which is exactly what an invalid slot
-        # contributes; overflow beyond the cap is statistically negligible
-        # (CLT over the ray batch).
+        # contributes. Overflow beyond the cap is NOT noise: dropped valid
+        # events lose their light AND have t_r forced to 1 (inflating the
+        # final transmittance), and the stable argsort concentrates drops on
+        # the highest-index rays -- hence the config-level validation that
+        # compact_events sits well above the RR-implied mean
+        # (config.PathTraceConfig.__post_init__).
         nk = n * k_slots
         cap = min(nk, max(1024, int(n * cfg.path.compact_events)))
         packed = jnp.concatenate(

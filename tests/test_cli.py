@@ -10,9 +10,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_cli_mnist(tmp_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # --platform cpu goes through jax.config (env vars are ignored in
+    # containers where jax is pre-imported with a different platform)
+    env = dict(os.environ, NRC_PLATFORM="cpu")
     r = subprocess.run(
-        [sys.executable, "-m", "neuralradiancecaching_tpu.cli", "mnist",
+        [sys.executable, "-m", "neuralradiancecaching_tpu.cli",
+         "--platform", "cpu", "mnist",
          "--steps", "60", "--limit", "1024",
          "--metrics", str(tmp_path / "m.jsonl")],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600)

@@ -81,3 +81,22 @@ def test_native_idx1():
     lbl_c = native.read_idx1(path, 500)
     lbl_py = assets.read_idx_labels(path)[:500]
     np.testing.assert_array_equal(lbl_c, lbl_py)
+
+
+def test_hdr_zero_count_packet_is_error(tmp_path):
+    # a literal RLE packet with count==0 never advances x; both decoders
+    # must reject it instead of spinning/scanning forever (ADVICE r1)
+    w, h = 16, 1
+    payload = bytes([2, 2, w >> 8, w & 0xFF, 0])  # scanline header + count=0
+    with pytest.raises(ValueError):
+        native.hdr_decode(payload + b"\x00" * 64, w, h)
+
+    from neuralradiancecaching_tpu.io import hdr as hdr_mod
+    path = tmp_path / "corrupt.hdr"
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + \
+        f"-Y {h} +X {w}\n".encode()
+    path.write_bytes(header + payload + b"\x00" * 64)
+    import unittest.mock
+    with unittest.mock.patch.object(native, "available", lambda: False):
+        with pytest.raises(ValueError):
+            hdr_mod.read_hdr(str(path))

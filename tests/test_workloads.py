@@ -73,3 +73,49 @@ def test_quality_metrics():
     assert abs(metrics.rmse(a, b) - 1.0) < 1e-9
     assert metrics.relative_rmse(a, a) < 1e-9
     assert metrics.psnr(a, a) > 100
+
+
+def test_checkpoint_rejects_dtype_and_config_mismatch(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from neuralradiancecaching_tpu import config as cfg_mod
+    from neuralradiancecaching_tpu.io import checkpoint as ck
+
+    cfg = cfg_mod.nrc_online_config(16, 16)
+    from neuralradiancecaching_tpu.models import nrc
+    st = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ck")
+    ck.save(path, st, metadata={"config_hash": ck.config_hash(cfg)})
+    ck.load(path, st, expect_config_hash=ck.config_hash(cfg))  # ok
+    with pytest.raises(ValueError, match="config hash"):
+        ck.load(path, st, expect_config_hash="0" * 16)
+    flat, treedef = jax.tree_util.tree_flatten(st)
+    bad = jax.tree_util.tree_unflatten(
+        treedef, [x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+                  for x in flat])
+    with pytest.raises(ValueError, match="dtype"):
+        ck.load(path, bad)
+
+
+def test_compaction_cap_validated_against_rr_decay():
+    import pytest
+    from neuralradiancecaching_tpu import config as cfg_mod
+
+    cfg_mod.PathTraceConfig()  # default rr_decay=0.5, cap 2.6: fine
+    cfg_mod.PathTraceConfig(rr_decay=0.8, compact_events=0.0)  # disabled: ok
+    with pytest.raises(ValueError, match="compact_events"):
+        cfg_mod.PathTraceConfig(rr_decay=0.8)  # cap 2.6 below implied mean
+
+
+def test_reference_exact_preset():
+    from neuralradiancecaching_tpu import config as cfg_mod
+
+    cfg = cfg_mod.reference_exact(64, 64)
+    q = cfg.quirks
+    assert all([q.world_space_lerp, q.duplicated_feature_grad, q.raw_oneblob,
+                q.quantize_density_8bit, q.raw_envmap_dir, q.query_dir_phase])
+    assert cfg.path.transmittance_mode == "quadrature"
+    assert cfg.env_map.transmittance_mode == "quadrature"
+    assert cfg.train.env_samples == 0
+    assert cfg.path.compact_events == 0.0
