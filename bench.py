@@ -30,7 +30,8 @@ def main():
     from neuralradiancecaching_tpu.io import assets
     from neuralradiancecaching_tpu.models import nrc
     from neuralradiancecaching_tpu.render import frame as frame_mod
-    from neuralradiancecaching_tpu.render.tiled import render_tiled
+    from neuralradiancecaching_tpu.render.tiled import (render_banded,
+                                                        render_tiled)
     from neuralradiancecaching_tpu.scene.scene import make_scene
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
@@ -79,17 +80,34 @@ def main():
         cfg, render=dataclasses.replace(cfg.render,
                                         query_cap_fraction=cap))
 
+    # whole frame as one program (lax.map over bands) when banding;
+    # BENCH_HOST_TILED=1 falls back to the host-side band loop
+    host_tiled = os.environ.get("BENCH_HOST_TILED") == "1"
+
     def run(key):
-        if band:
-            return render_tiled(state, scene, key, cfg, band_rows=band)
-        img = frame_mod.render_only_step(state, scene, key, cfg)
+        if band and not host_tiled:
+            img = render_banded(state, scene, key, cfg, band_rows=band)
+        elif band:
+            img = render_tiled(state, scene, key, cfg, band_rows=band)
+        else:
+            img = frame_mod.render_only_step(state, scene, key, cfg)
         # NOTE: block_until_ready does not reliably block on the axon
-        # platform; a scalar device->host transfer is the hard sync
+        # platform; a scalar device->host transfer is the hard sync.
+        # The frame itself stays on device (the tunnel moves ~20 MB/s).
         np.asarray(img.sum())
         return img
 
-    # warmup/compile
-    img = run(jax.random.PRNGKey(0))
+    # warmup/compile; if the whole-frame banded program cannot be compiled
+    # in this environment, fall back to the host-side band loop
+    try:
+        img = run(jax.random.PRNGKey(0))
+    except Exception as e:
+        if not band or host_tiled:
+            raise
+        print(f"# render_banded failed ({type(e).__name__}); "
+              f"falling back to host-tiled", file=sys.stderr)
+        host_tiled = True
+        img = run(jax.random.PRNGKey(0))
     t0 = time.perf_counter()
     for i in range(frames):
         img = run(jax.random.PRNGKey(1 + i))
@@ -112,7 +130,7 @@ def main():
         "frames": frames,
         "seconds": round(dt, 3),
         "devices": n_chips,
-        "mean_radiance": float(np.asarray(img).mean()),
+        "mean_radiance": float(np.asarray(img.mean())),
         "query_fraction": round(qfrac, 4),
         "query_cap": cap,
     }

@@ -95,10 +95,13 @@ def _render_frame(state, scene, key, cfg):
     """Render one frame, banded when large. Returns np (H, W, 3)."""
     import jax
     from neuralradiancecaching_tpu.render import frame as frame_mod
-    from neuralradiancecaching_tpu.render.tiled import render_tiled
+    from neuralradiancecaching_tpu.render.tiled import render_banded
     band = _band_rows(cfg.render.width, cfg.render.height)
     if band:
-        return render_tiled(state, scene, key, cfg, band_rows=band)
+        # one jitted program per frame (lax.map over row bands) -- the
+        # reference's single command buffer at production sizes
+        return np.asarray(render_banded(state, scene, key, cfg,
+                                        band_rows=band))
     img = frame_mod.render_only_step(state, scene, key, cfg)
     return np.asarray(img)
 
