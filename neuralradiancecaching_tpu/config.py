@@ -211,6 +211,13 @@ class EnvMapConfig:
     #   'quadrature' -- the reference's per-sample 16-step quadrature
     #                   (nrc-forward.frag:721; exact but 16x the gathers)
     transmittance_mode: str = "field"
+    # env in-scatter estimator at scatter vertices:
+    #   'mc'    -- the reference's n_samples phase-sampled MC estimate
+    #              (nrc-forward.frag:710-749)
+    #   'field' -- its expectation baked per (voxel, dir bucket): one row
+    #              gather per event, zero variance, small discretization
+    #              bias (ops/lightfield.py build_scatter_field)
+    in_scatter_mode: str = "mc"
 
 
 def rr_mean_events(rr_decay: float, max_bounces: int) -> float:
@@ -259,6 +266,14 @@ class PathTraceConfig:
     # disables (shade all N*K slots).
     compact_events: float = 2.6
 
+    # two-phase march (NN render only): after `march_phase1_steps` full-width
+    # steps, rays with zero optical depth ahead (one tau-field row gather)
+    # are retired and the survivors -- measured <=10% at reference scenes by
+    # step 6 -- are compacted to `march_live_fraction * n_rays` lanes for the
+    # remaining steps. Requires transmittance_mode='field'. 0 disables.
+    march_phase1_steps: int = 6
+    march_live_fraction: float = 0.125
+
     def __post_init__(self):
         if self.compact_events > 0:
             mean = rr_mean_events(self.rr_decay, self.max_bounces)
@@ -287,6 +302,13 @@ class TrainConfig:
     # out), which with the default zero-strength dir/point lights makes all
     # targets black. 0 reproduces that; >0 makes the cache learn env light.
     env_samples: int = 8
+    # cross-ray event compaction for target generation: the 64-step target
+    # walks scatter on ~32 steps on average (measured, reference scene), so
+    # shading is capped at `compact_events * n_rays` events packed to the
+    # front in STEP-major order -- overflow drops are the deepest (dimmest)
+    # scatter events across all rays, not specific rays. 0 = shade all
+    # steps*n slots.
+    compact_events: float = 44.0
 
     @property
     def n_rays(self) -> int:
@@ -356,14 +378,16 @@ def pathtrace_config(width: int = 800, height: int = 800,
                      spp: int = 1) -> "NRCConfig":
     """Config 3: cloud volume path trace with the cache off."""
     return NRCConfig(render=RenderConfig(width=width, height=height, spp=spp,
-                                         use_nn=False))
+                                         use_nn=False),
+                     env_map=EnvMapConfig(in_scatter_mode="field"))
 
 
 def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
     """Config 4: NRC online train+query in the render loop (the reference's
     default workload, src/main.cpp:109-166)."""
     return NRCConfig(render=RenderConfig(width=width, height=height,
-                                         use_nn=True))
+                                         use_nn=True),
+                     env_map=EnvMapConfig(in_scatter_mode="field"))
 
 
 def reference_exact(width: int = 800, height: int = 800) -> "NRCConfig":
@@ -405,4 +429,5 @@ def progressive_1080p_config() -> "NRCConfig":
     return NRCConfig(
         camera=CameraConfig(aspect=1920.0 / 1080.0),
         render=RenderConfig(width=1920, height=1080, use_nn=True),
+        env_map=EnvMapConfig(in_scatter_mode="field"),
     )

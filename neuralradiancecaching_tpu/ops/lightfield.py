@@ -238,6 +238,86 @@ def build_radiance_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
     return packed.reshape(-1, 12)
 
 
+# ---------------------------------------------------------------------------
+# HG-convolved in-scatter field:
+#   S(vox, d) = E_{w ~ HG(.|d)}[ T(vox -> exit along w) * Env(w) ]
+#             = sum_w HG(d.w) T(vox, w) Env(w) dOmega(w)
+#
+# This is the EXPECTATION of the renderer's 8-sample phase-sampled env
+# estimator (SampleHdrEnvMap, nrc-forward.frag:710-749) baked per (voxel,
+# out-direction bucket): ONE 12-float row gather replaces 8 samples x
+# (tau gather + env gather) + 8 HG direction draws per scatter event.
+# Variance goes to zero; the cost is discretization bias (nearest voxel at
+# ~2 world units + direction bilinear at 22 deg buckets -- smooth because
+# the HG(g=0.7) kernel has a ~40 deg lobe). EnvMapConfig.in_scatter_mode
+# selects 'mc' (reference estimator) vs 'field' (this bake).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("vol", "hg_g", "steps", "field_shape"))
+def build_scatter_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
+                        vol: VolumeConfig, hg_g: float, steps: int = 16,
+                        field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                        ) -> jnp.ndarray:
+    """(V * L_N_THETA * L_N_PHI, 12) corner-packed rows of the HG-convolved
+    in-scatter radiance (WITHOUT hpm strength -- applied at query time)."""
+    from neuralradiancecaching_tpu.ops import envmap as envmap_ops
+    from neuralradiancecaching_tpu.ops import phase as phase_ops
+
+    size = jnp.asarray(vol.box_size, jnp.float32)
+    center = jnp.asarray(vol.box_center, jnp.float32)
+    ax = [(jnp.arange(n, dtype=jnp.float32) + 0.5) / n - 0.5
+          for n in field_shape]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * size + center
+
+    # quadrature directions: the fine equirect grid (N_THETA x N_PHI)
+    th = (jnp.arange(N_THETA, dtype=jnp.float32) + 0.5) / N_THETA * math.pi
+    ph = ((jnp.arange(N_PHI, dtype=jnp.float32) + 0.5) / N_PHI * 2.0
+          - 1.0) * math.pi
+    tt, pp = jnp.meshgrid(th, ph, indexing="ij")
+    qdirs = _dir_from_theta_phi(tt, pp).reshape(-1, 3)          # (Q, 3)
+    d_omega = (jnp.sin(tt) * (math.pi / N_THETA)
+               * (2.0 * math.pi / N_PHI)).reshape(-1)            # (Q,)
+
+    uv = envmap_ops.dir_to_equirect_uv(qdirs)
+    env_rgb = envmap_ops._bilinear_wrap_u(env_image, uv)         # (Q, 3)
+
+    def per_dir(d):
+        dn = jnp.broadcast_to(d, pts.shape)
+        _, exit_p, _ = volume_ops.entry_exit_points(pts, dn, vol.box_size,
+                                                    vol.box_center)
+        return volume_ops.transmittance(density_field, pts, exit_p, steps,
+                                        vol)  # (V,)
+
+    t = jax.lax.map(per_dir, qdirs)                              # (Q, V)
+
+    # out-direction bucket centers (coarse L_N_THETA x L_N_PHI grid)
+    oth = (jnp.arange(L_N_THETA, dtype=jnp.float32) + 0.5) \
+        / L_N_THETA * math.pi
+    oph = ((jnp.arange(L_N_PHI, dtype=jnp.float32) + 0.5) / L_N_PHI * 2.0
+           - 1.0) * math.pi
+    ott, opp = jnp.meshgrid(oth, oph, indexing="ij")
+    odirs = _dir_from_theta_phi(ott, opp).reshape(-1, 3)         # (O, 3)
+
+    # HG quadrature weights, row-normalized so a constant T*Env is exact
+    cos_ow = odirs @ qdirs.T                                     # (O, Q)
+    w = phase_ops.hg_phase(cos_ow, hg_g) * d_omega[None, :]
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+
+    t_env = jnp.transpose(t, (1, 0))[:, :, None] * env_rgb[None, :, :]
+    scatter = jnp.einsum("oq,vqc->voc", w, t_env)                # (V, O, 3)
+    scatter = scatter.reshape(-1, L_N_THETA, L_N_PHI, 3)
+
+    c00 = scatter
+    c01 = jnp.roll(scatter, -1, axis=2)
+    up = jnp.concatenate([scatter[:, 1:], scatter[:, -1:]], axis=1)
+    c10 = up
+    c11 = jnp.roll(up, -1, axis=2)
+    packed = jnp.concatenate([c00, c01, c10, c11], axis=-1)      # (V,T,P,12)
+    return packed.reshape(-1, 12)
+
+
 def query_radiance_field(field: jnp.ndarray, pos: jnp.ndarray,
                          d: jnp.ndarray, vol: VolumeConfig,
                          field_shape: Tuple[int, int, int] = FIELD_SHAPE

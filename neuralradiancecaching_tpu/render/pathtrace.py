@@ -81,7 +81,15 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
         ph = phase_ops.hg_phase(jnp.sum(wi * -direction, axis=-1), vol.hg_g)
         total = total + l.color[None, :] * (l.strength * t * ph)[:, None]
 
-    if env_samples > 0:
+    if env_samples > 0 and cfg.env_map.in_scatter_mode == "field":
+        # the MC estimator's expectation, baked: ONE row gather per event
+        # (ops/lightfield.py build_scatter_field). Replaces env_samples x
+        # (HG draw + tau gather + env gather).
+        from neuralradiancecaching_tpu.ops import lightfield
+        total = total + scene.env.hpm_strength * \
+            lightfield.query_radiance_field(scene.env_s_field, pos,
+                                            direction, vol)
+    elif env_samples > 0:
         # SampleHdrEnvMap(pos, dir, N) (frag:710-749): phase-sampled rays
         # with transmittance to the box exit; optional inverse-CDF branch.
         n_cdf = int(round(env_samples * cfg.env_map.cdf_fraction))
@@ -236,7 +244,7 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                 dir_phase = phase_ops.hg_phase(
                     jnp.sum(s.cur_dir * -s.last_dir, axis=-1), vol.hg_g)
             else:
-                dir_phase = jnp.ones((n,), dtype=dtype)
+                dir_phase = jnp.ones_like(density)
             has_query = s.has_query | terminate
             q_phase = jnp.where(terminate, dir_phase, s.q_phase)
             q_pos = jnp.where(terminate[:, None], s.cur_pos, s.q_pos)
@@ -278,9 +286,38 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                  has_query, q_pos, q_dir, q_phase, ev_pos, ev_prev, ev_dir,
                  ev_dens), None
 
-    u_march = jax.random.uniform(jax.random.fold_in(key, 0),
-                                 (max_bounces, 4, n), dtype=dtype)
-    s, _ = jax.lax.scan(step, init, u_march)
+    two_phase = (use_nn and pt.march_phase1_steps > 0
+                 and max_bounces > pt.march_phase1_steps
+                 and pt.transmittance_mode == "field")
+    if not two_phase:
+        u_march = jax.random.uniform(jax.random.fold_in(key, 0),
+                                     (max_bounces, 4, n), dtype=dtype)
+        s, _ = jax.lax.scan(step, init, u_march)
+    else:
+        # Two-phase march: most rays cross the cloud within a few steps and
+        # then wander in empty box space (measured: <=10% have any optical
+        # depth ahead after step 6 at reference scenes). Phase 1 runs
+        # full-width; rays with tau(cur -> exit) == 0 can never scatter,
+        # query, or change t_final again, so the survivors are compacted to
+        # `march_live_fraction` lanes for the remaining steps and scattered
+        # back. Live rays beyond the cap keep their phase-1 state (same
+        # deterministic-cap caveat as event compaction; the cap sits ~2x
+        # above the measured survivor fraction).
+        from neuralradiancecaching_tpu.ops import lightfield
+        p1 = pt.march_phase1_steps
+        u1 = jax.random.uniform(jax.random.fold_in(key, 0),
+                                (p1, 4, n), dtype=dtype)
+        s, _ = jax.lax.scan(step, init, u1)
+        tau_ahead = lightfield.query_tau_field(scene.env_t_field, s.cur_pos,
+                                               s.cur_dir, vol)
+        live = ~s.done & (tau_ahead > 1e-4)
+        m = min(n, max(1024, int(n * pt.march_live_fraction)))
+        sel = jnp.argsort(~live)[:m]
+        sub = S(*[jnp.take(x, sel, axis=0) for x in s])
+        u2 = jax.random.uniform(jax.random.fold_in(key, 1),
+                                (max_bounces - p1, 4, m), dtype=dtype)
+        sub, _ = jax.lax.scan(step, sub, u2)
+        s = S(*[x.at[sel].set(y) for x, y in zip(s, sub)])
 
     # ---- Phase 2: shade the recorded events ----
     valid = slot_iota < s.cnt[:, None]  # (N, K)

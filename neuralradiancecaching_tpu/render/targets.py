@@ -108,27 +108,118 @@ def choose_train_vertices(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     return pos, d
 
 
+def trace_target_paths(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
+                       d: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Batched TracePath (nrc-train.comp:1123-1171) for target generation:
+    the fixed `target_bounces`-step scatter walk, no Russian roulette, no
+    cache queries.
+
+    TPU-native structure, distinct from the render-side ``trace_path``:
+    events are recorded as per-step scan OUTPUTS (one (steps, N, .) write
+    each step) instead of K per-ray slots -- the target walk scatters on
+    ~half its 64 steps (measured), so slot recording would rewrite an
+    O(N * 64) buffer every step. Shading then runs once over the flat
+    (steps * N) events, packed to the front in step-major order and capped
+    at ``train.compact_events * N`` (overflow drops are the deepest,
+    dimmest events across all rays).
+
+    pos/d: (N, 3) starting vertices/directions. Returns (N, 3) scattered
+    radiance.
+    """
+    vol = cfg.volume
+    pt = cfg.path
+    steps = cfg.train.target_bounces
+    env_samples = cfg.train.env_samples
+    n = pos.shape[0]
+    dtype = pos.dtype
+
+    entry, _, _ = volume_ops.entry_exit_points(pos, d, vol.box_size,
+                                               vol.box_center)
+
+    def step(carry, u):
+        cur, last, cd = carry
+        dens = volume_ops.density_at(scene.density, cur, vol)
+        scatter = dens > 0.0
+        ys = (cur, last, cd, dens, scatter)
+        new_last = jnp.where(scatter[:, None], cur, last)
+        nd = phase_ops.hg_direction_from_uniforms(u[1], u[2], cd, vol.hg_g)
+        cd = jnp.where(scatter[:, None], nd, cd)
+        _, t_exit, _ = volume_ops.ray_aabb(cur, cd, vol.box_size,
+                                           vol.box_center)
+        nxt = cur + cd * (u[3] * jnp.maximum(t_exit, 0.0)
+                          * pt.step_fraction)[:, None]
+        return (nxt, new_last, cd), ys
+
+    u_walk = jax.random.uniform(jax.random.fold_in(key, 0),
+                                (steps, 4, n), dtype=dtype)
+    _, (ev_pos, ev_prev, ev_dir, ev_dens, valid) = jax.lax.scan(
+        step, (entry, entry, d), u_walk)
+
+    k_scene = jax.random.fold_in(key, 1)
+
+    def _segment_t(a, b):
+        if pt.transmittance_mode == "field":
+            from neuralradiancecaching_tpu.ops import lightfield
+            return lightfield.segment_transmittance_field(
+                scene.env_t_field, a, b, vol)
+        return volume_ops.transmittance(scene.density, a, b,
+                                        pt.transmittance_steps, vol)
+
+    ns = steps * n
+    cap = (min(ns, max(1024, int(n * cfg.train.compact_events)))
+           if cfg.train.compact_events > 0 else ns)
+    packed = jnp.concatenate(
+        [ev_pos, ev_prev, ev_dir, ev_dens[..., None]],
+        axis=-1).reshape(ns, 10)
+    flat_valid = valid.reshape(ns)
+    if cap < ns:
+        sel = jnp.argsort(~flat_valid)[:cap]
+        rows = jnp.take(packed, sel, axis=0)
+        sel_valid = jnp.take(flat_valid, sel)
+        t_r_sel = _segment_t(rows[:, 0:3], rows[:, 3:6])
+        light_sel = pathtrace.trace_scene(scene, cfg, rows[:, 0:3],
+                                          rows[:, 6:9], k_scene, env_samples)
+        t_r = jnp.ones((ns,), dtype=dtype).at[sel].set(
+            jnp.where(sel_valid, t_r_sel, 1.0)).reshape(steps, n)
+        light = jnp.zeros((ns, 3), dtype=dtype).at[sel].set(
+            jnp.where(sel_valid[:, None], light_sel, 0.0)
+        ).reshape(steps, n, 3)
+    else:
+        t_r_all = _segment_t(packed[:, 0:3], packed[:, 3:6])
+        light_all = pathtrace.trace_scene(scene, cfg, packed[:, 0:3],
+                                          packed[:, 6:9], k_scene,
+                                          env_samples)
+        t_r = jnp.where(flat_valid, t_r_all, 1.0).reshape(steps, n)
+        light = jnp.where(flat_valid[:, None], light_all,
+                          0.0).reshape(steps, n, 3)
+
+    t_incl = jnp.cumprod(t_r, axis=0)  # throughput AFTER each step's event
+    t_before = jnp.concatenate(
+        [jnp.ones((1, n), dtype=dtype), t_incl[:-1]], axis=0)
+    contrib = (valid * t_before * ev_dens)[..., None] * light
+    return jnp.sum(contrib, axis=0)  # (N, 3)
+
+
 def generate_train_batch(scene: Scene, cfg: NRCConfig,
                          key: jax.Array) -> TrainBatch:
     """Full train-batch generation for one frame: train-grid rays -> RR
     vertices -> averaged path-traced targets (clamped to target_clamp,
-    nrc-train.comp:987)."""
+    nrc-train.comp:987).
+
+    The `target_samples` estimates run as ONE batched walk of
+    (target_samples * n_rays) rays -- bigger batches amortize the
+    descriptor-bound gathers far better than the reference's per-thread
+    sample loop (nrc-train.comp:1217-1223) translated literally."""
     k_v, k_t = jax.random.split(key)
     ro, rd = pixel_rays(scene.camera, cfg.train.train_width,
                         cfg.train.train_height)
     pos, d = choose_train_vertices(scene, cfg, ro, rd, k_v)
 
-    def one_estimate(k):
-        res = pathtrace.trace_path(
-            scene, cfg, pos, d, k, use_nn=False,
-            env_samples=cfg.train.env_samples,
-            max_bounces=cfg.train.target_bounces)
-        return res.scattered
-
-    keys = jax.random.split(k_t, cfg.train.target_samples)
-    # sequential over estimates (memory: each estimate is a full path-trace
-    # batch; vmap would multiply every transient by target_samples)
-    estimates = jax.lax.map(one_estimate, keys)  # (S, N, 3)
-    target = jnp.mean(estimates, axis=0)
+    s_count = cfg.train.target_samples
+    n = pos.shape[0]
+    pos_t = jnp.tile(pos, (s_count, 1))
+    d_t = jnp.tile(d, (s_count, 1))
+    scattered = trace_target_paths(scene, cfg, pos_t, d_t, k_t)
+    target = jnp.mean(scattered.reshape(s_count, n, 3), axis=0)
     target = jnp.minimum(target, cfg.train.target_clamp)
     return TrainBatch(pos=pos, dir=d, target=target)

@@ -50,6 +50,9 @@ class Scene(NamedTuple):
     # EnvMapConfig.transmittance_mode == 'premultiplied'; placeholder row
     # otherwise
     env_l_field: jnp.ndarray
+    # HG-convolved in-scatter field, used when
+    # EnvMapConfig.in_scatter_mode == 'field'; placeholder row otherwise
+    env_s_field: jnp.ndarray
 
 
 def lightfield_row_width() -> int:
@@ -107,11 +110,18 @@ def make_scene(cfg: NRCConfig, density: jnp.ndarray,
             steps=cfg.env_map.transmittance_steps)
     else:
         env_l_field = jnp.zeros((1, 12), jnp.float32)
+    if cfg.env_map.in_scatter_mode == "field":
+        env_s_field = lightfield.build_scatter_field(
+            corner_table, env_image, cfg.volume, hg_g=cfg.volume.hg_g,
+            steps=cfg.env_map.transmittance_steps)
+    else:
+        env_s_field = jnp.zeros((1, 12), jnp.float32)
     return Scene(
         density=corner_table,
         density_grid=density,
         env_t_field=env_t_field,
         env_l_field=env_l_field,
+        env_s_field=env_s_field,
         camera=make_camera(cfg.camera),
         dir_light=make_dir_light(cfg.dir_light),
         point_light=make_point_light(cfg.point_light),

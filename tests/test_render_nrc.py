@@ -153,3 +153,55 @@ def test_presets_construct():
                    cfg_mod.progressive_1080p_config()]:
         assert isinstance(preset, NRCConfig)
         assert hash(preset) is not None  # static-arg usable
+
+
+def test_scatter_field_matches_mc_expectation():
+    """The baked HG-convolved in-scatter field (in_scatter_mode='field') is
+    the expectation of the reference's phase-sampled env estimator
+    (nrc-forward.frag:710-749): means must agree closely and the pointwise
+    discretization error must undercut the 8-sample estimator's noise."""
+    cfg = tiny_config()
+    cfg_f = dataclasses.replace(
+        cfg, env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field",
+                                         transmittance_steps=8))
+    cfg_mc = dataclasses.replace(
+        cfg, env_map=dataclasses.replace(cfg.env_map,
+                                         transmittance_steps=8))
+    # smooth non-uniform density so T varies
+    ax = np.linspace(-1, 1, 16, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    grid = np.clip(0.6 - 0.5 * (gx**2 + gy**2 + gz**2), 0, None)
+    env = assets.synthesize_sky(16, 32)
+    scene = make_scene(cfg_f, grid, env)
+
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray((rng.random((512, 3), dtype=np.float32) - 0.5) * 6.0)
+    dirs = rng.normal(size=(512, 3)).astype(np.float32)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+
+    lf = np.asarray(pathtrace.trace_scene(scene, cfg_f, pts, dirs,
+                                          jax.random.PRNGKey(0),
+                                          env_samples=1))
+    lm = np.asarray(pathtrace.trace_scene(scene, cfg_mc, pts, dirs,
+                                          jax.random.PRNGKey(1),
+                                          env_samples=256))
+    assert np.isfinite(lf).all() and (lf >= 0).all()
+    mean_rel = abs(lf.mean() - lm.mean()) / lm.mean()
+    assert mean_rel < 0.05, mean_rel
+    per_point = (np.abs(lf - lm).mean(-1)
+                 / (np.abs(lm).mean(-1) + 1e-6))
+    assert np.median(per_point) < 0.25, np.median(per_point)
+
+
+def test_render_banded_matches_tiled():
+    from neuralradiancecaching_tpu.render.tiled import (render_banded,
+                                                        render_tiled)
+    cfg = tiny_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, width=8, height=8))
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(5)
+    a = np.asarray(render_tiled(state, scene, k, cfg, band_rows=4))
+    b = np.asarray(render_banded(state, scene, k, cfg, band_rows=4))
+    np.testing.assert_allclose(a, b, atol=1e-5)
