@@ -76,9 +76,22 @@ def main():
                                jax.random.PRNGKey(99), use_nn=True)
     qfrac = float(np.asarray((res.query_weight > 0).mean()))
     cap = min(1.0, float(np.ceil((qfrac * 1.6 + 0.02) / 0.125) * 0.125))
+    # ... and the pre-march entry cap from the measured fraction of rays
+    # with any optical depth at their entry point
+    from neuralradiancecaching_tpu.ops import lightfield, volume as vol_ops
+    entry_p, _, _ = vol_ops.entry_exit_points(ro[::stride], rd[::stride],
+                                              cfg.volume.box_size,
+                                              cfg.volume.box_center)
+    tau0 = lightfield.query_tau_field(scene.env_t_field, entry_p,
+                                      rd[::stride], cfg.volume)
+    live_frac = float(np.asarray((tau0 > 1e-4).mean()))
+    entry_cap = min(1.0, float(np.ceil((live_frac * 1.4 + 0.02) / 0.0625)
+                               * 0.0625))
     cfg = dataclasses.replace(
-        cfg, render=dataclasses.replace(cfg.render,
-                                        query_cap_fraction=cap))
+        cfg,
+        render=dataclasses.replace(cfg.render, query_cap_fraction=cap),
+        path=dataclasses.replace(cfg.path,
+                                 march_entry_fraction=entry_cap))
 
     # whole frame as one program (lax.map over bands) when banding;
     # BENCH_HOST_TILED=1 falls back to the host-side band loop
@@ -133,8 +146,98 @@ def main():
         "mean_radiance": float(np.asarray(img.mean())),
         "query_fraction": round(qfrac, 4),
         "query_cap": cap,
+        "entry_live_fraction": round(live_frac, 4),
+        "march_entry_cap": entry_cap,
     }
+
+    # online-training throughput at reference-parity settings
+    # (100x100 rays x 8 samples x 64 bounces; the reference trains EVERY
+    # frame, NrcHpmRenderer.cpp:604)
+    t0 = time.perf_counter()
+    ts = 5
+    st2 = state
+    for i in range(ts):
+        st2, mse = frame_mod.train_only_step(st2, scene,
+                                             jax.random.PRNGKey(500 + i),
+                                             cfg)
+    np.asarray(mse)
+    train_dt = (time.perf_counter() - t0) / ts
+    result["train_step_ms"] = round(train_dt * 1000, 1)
+    result["train_steps_per_s"] = round(1.0 / train_dt, 2)
+
+    if os.environ.get("BENCH_QUALITY", "1") != "0":
+        result.update(quality_metrics(cfg, scene, state))
+
     print(json.dumps(result))
+
+
+def quality_metrics(cfg, scene, state):
+    """North-star quality: relative RMSE of the NRC render vs a converged
+    no-cache render at 512^2 (matched estimators, accumulated spp), plus
+    the shading-cap bias A/B (VERDICT r1 findings 5/6).
+
+    The cap A/B is EXACT: with in_scatter_mode='field' the shade phase
+    draws no randomness, and the query/event caps change no RNG stream, so
+    capped-vs-uncapped at the same key differ only by the deterministic
+    drops."""
+    import dataclasses
+
+    import jax
+
+    from neuralradiancecaching_tpu.render import frame as frame_mod
+    from neuralradiancecaching_tpu.utils.metrics import relative_rmse
+
+    qside = int(os.environ.get("BENCH_QUALITY_SIZE", 512))
+    train_steps = int(os.environ.get("BENCH_QUALITY_TRAIN", 150))
+    spp_nn = int(os.environ.get("BENCH_QUALITY_SPP", 8))
+    spp_ref = int(os.environ.get("BENCH_QUALITY_REF_SPP", 32))
+
+    qcfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, aspect=1.0),
+        render=dataclasses.replace(cfg.render, width=qside, height=qside,
+                                   use_nn=True, query_cap_fraction=0.375),
+    )
+    st = state
+    for i in range(train_steps):
+        st, _ = frame_mod.train_only_step(st, scene,
+                                          jax.random.PRNGKey(1000 + i),
+                                          qcfg)
+    np.asarray(st.hash_table.sum())
+
+    def accum(c, spp_total, key0):
+        acc = None
+        for i in range(spp_total):
+            img = frame_mod.render_only_step(st, scene,
+                                             jax.random.PRNGKey(key0 + i), c)
+            acc = img if acc is None else acc + img
+        return np.asarray(acc / spp_total)
+
+    img_nn = accum(qcfg, spp_nn, 2000)
+    ref_cfg = dataclasses.replace(
+        qcfg, render=dataclasses.replace(qcfg.render, use_nn=False))
+    img_ref = accum(ref_cfg, spp_ref, 3000)
+    rel = relative_rmse(img_nn, img_ref)
+
+    # cap bias A/B (same single key; shading deterministic in field mode)
+    uncapped = dataclasses.replace(
+        qcfg,
+        render=dataclasses.replace(qcfg.render, query_cap_fraction=1.0),
+        path=dataclasses.replace(qcfg.path, compact_events=0.0))
+    a = np.asarray(frame_mod.render_only_step(st, scene,
+                                              jax.random.PRNGKey(7777),
+                                              qcfg))
+    b = np.asarray(frame_mod.render_only_step(st, scene,
+                                              jax.random.PRNGKey(7777),
+                                              uncapped))
+    return {
+        "relative_rmse": round(float(rel), 5),
+        "quality_size": qside,
+        "quality_train_steps": train_steps,
+        "cap_bias_rmse": round(float(relative_rmse(a, b)), 6),
+        "cap_bias_mean_delta": round(float(a.mean() - b.mean())
+                                     / max(float(b.mean()), 1e-9), 6),
+    }
 
 
 if __name__ == "__main__":

@@ -72,6 +72,12 @@ class MLPConfig:
     # alternative (nrc-forward.frag:441-488) and the vestigial compute-lib's
     # SigmoidLayer (include/engine/compute/SigmoidLayer.hpp)
     activation: str = "relu"
+    # inference (query) forward through the fused Pallas kernel
+    # (ops/pallas_mlp.py): all six layers with VMEM-resident weights and no
+    # HBM activation round-trips -- the TPU counterpart of the reference's
+    # fully-fused ApplyWeights0-5 (nrc-forward.frag:503-534). Training
+    # gradients always use the jnp path. Falls back to jnp off-TPU.
+    fused_inference: bool = True
 
 
 @dataclass(frozen=True)
@@ -273,6 +279,12 @@ class PathTraceConfig:
     # remaining steps. Requires transmittance_mode='field'. 0 disables.
     march_phase1_steps: int = 6
     march_live_fraction: float = 0.125
+    # pre-march kill: rays whose ENTRY point already has zero optical depth
+    # ahead (one tau gather) can never scatter -- they render as env
+    # see-through without marching at all. Survivors are compacted to
+    # `march_entry_fraction * n_rays` lanes before phase 1 (measured ~25%
+    # at reference cameras). 0 disables (march every ray full-width).
+    march_entry_fraction: float = 0.375
 
     def __post_init__(self):
         if self.compact_events > 0:

@@ -68,11 +68,21 @@ def encode(hash_table: jnp.ndarray, pos: jnp.ndarray, direction: jnp.ndarray,
     return jnp.concatenate([mrhe_feats, blob_feats], axis=-1)
 
 
+def _inference_mlp(params, x: jnp.ndarray, cfg: NRCConfig) -> jnp.ndarray:
+    """Query-path MLP forward: fused Pallas kernel (the reference's
+    fully-fused ApplyWeights0-5, nrc-forward.frag:503-534) when enabled and
+    the input is a flat batch; plain jnp otherwise."""
+    if cfg.mlp.fused_inference and x.ndim == 2:
+        from neuralradiancecaching_tpu.ops import pallas_mlp
+        return pallas_mlp.apply(params, x, cfg.mlp)
+    return mlp_ops.apply(params, x, cfg.mlp)
+
+
 def query(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
           cfg: NRCConfig) -> jnp.ndarray:
     """Cache inference (the fragment Forward): (N,3),(N,3) -> (N,3)."""
     x = encode(state.hash_table, pos, direction, cfg)
-    return mlp_ops.apply(state.mlp_params, x, cfg.mlp)
+    return _inference_mlp(state.mlp_params, x, cfg)
 
 
 def bake(state: NRCState, cfg: NRCConfig) -> jnp.ndarray:
@@ -91,7 +101,7 @@ def query_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,
                                             pos_norm, cfg.mrhe, cfg.quirks)
     blob_feats = oneblob_ops.encode_dir(direction, cfg.oneblob, cfg.quirks)
     x = jnp.concatenate([mrhe_feats, blob_feats], axis=-1)
-    return mlp_ops.apply(state.mlp_params, x, cfg.mlp)
+    return _inference_mlp(state.mlp_params, x, cfg)
 
 
 def compute_grads(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,

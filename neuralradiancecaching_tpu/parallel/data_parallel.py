@@ -37,22 +37,12 @@ def _device_key(key: jax.Array) -> jax.Array:
 def _local_train_grads(state: nrc.NRCState, scene: Scene, key: jax.Array,
                        cfg: NRCConfig, ro, rd):
     """Per-device: vertex selection + targets + grads on the local ray
-    shard, then cross-device mean."""
-    k = _device_key(key)
-    k_v, k_t = jax.random.split(k)
-    pos, d = targets.choose_train_vertices(scene, cfg, ro, rd, k_v)
-
-    def one_estimate(kk):
-        res = pathtrace.trace_path(scene, cfg, pos, d, kk, use_nn=False,
-                                   env_samples=cfg.train.env_samples,
-                                   max_bounces=cfg.train.target_bounces)
-        return res.scattered
-
-    keys = jax.random.split(k_t, cfg.train.target_samples)
-    target = jnp.mean(jax.lax.map(one_estimate, keys), axis=0)
-    target = jnp.minimum(target, cfg.train.target_clamp)
-
-    grads, mse = nrc.compute_grads(state, pos, d, target, cfg)
+    shard (same batched tracer as the single-chip path), then cross-device
+    mean."""
+    batch = targets.generate_train_batch_for_rays(scene, cfg,
+                                                  _device_key(key), ro, rd)
+    grads, mse = nrc.compute_grads(state, batch.pos, batch.dir, batch.target,
+                                   cfg)
     grads = jax.lax.pmean(grads, DATA_AXIS)
     mse = jax.lax.pmean(mse, DATA_AXIS)
     return grads, mse
@@ -116,6 +106,54 @@ def dp_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
         check_vma=False)
     rgb = fn(state, scene, key, ro, rd)
     return rgb.reshape(cfg.render.height, cfg.render.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "band_rows"))
+def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
+                     cfg: NRCConfig, mesh, band_rows: int = 108
+                     ) -> jnp.ndarray:
+    """Data-parallel banded render: rows sharded over devices, each device
+    lax.map's over its local row bands (the multi-chip version of
+    ``render.tiled.render_banded``). Transients stay band-sized per device,
+    so production frames (1080p+) compile. Returns (H, W, 3)."""
+    h, w = cfg.render.height, cfg.render.width
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if h % (n_dev * band_rows) != 0:
+        raise ValueError(
+            f"height {h} must divide into {n_dev} devices x {band_rows}-row "
+            f"bands")
+    ro, rd = pixel_rays(scene.camera, w, h)
+
+    def body(s, sc, k, ro_l, rd_l):
+        # ro_l: this device's (rows_local * w, 3) shard
+        baked = nrc.bake(s, cfg)
+
+        def query_fn(qpos, qdir):
+            return nrc.query_baked(s, baked, qpos, qdir, cfg)
+
+        bands = ro_l.shape[0] // (band_rows * w)
+        ro_b = ro_l.reshape(bands, band_rows * w, 3)
+        rd_b = rd_l.reshape(bands, band_rows * w, 3)
+        kd = _device_key(k)
+
+        def band(args):
+            i, ro_i, rd_i = args
+            rgb, _ = pathtrace.render_image(sc, cfg, ro_i, rd_i,
+                                            jax.random.fold_in(kd, i),
+                                            query_fn=query_fn)
+            return rgb
+
+        out = jax.lax.map(band, (jnp.arange(bands, dtype=jnp.int32),
+                                 ro_b, rd_b))
+        return out.reshape(-1, 3)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False)
+    rgb = fn(state, scene, key, ro, rd)
+    return rgb.reshape(h, w, 3)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "train"))

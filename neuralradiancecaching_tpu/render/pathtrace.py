@@ -305,19 +305,38 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         # above the measured survivor fraction).
         from neuralradiancecaching_tpu.ops import lightfield
         p1 = pt.march_phase1_steps
+
+        # phase 0: rays with zero optical depth at ENTRY can never scatter
+        # at all -- they come out as env see-through (cnt=0, t_final=1)
+        # without marching. One tau gather over all rays.
+        m0 = (min(n, max(1024, int(n * pt.march_entry_fraction)))
+              if pt.march_entry_fraction > 0 else n)
+        if m0 < n:
+            tau0 = lightfield.query_tau_field(scene.env_t_field, entry, rd,
+                                              vol)
+            sel0 = jnp.argsort(~(tau0 > 1e-4))[:m0]
+            sub = S(*[jnp.take(x, sel0, axis=0) for x in init])
+        else:
+            sel0 = None
+            sub = init
+
         u1 = jax.random.uniform(jax.random.fold_in(key, 0),
-                                (p1, 4, n), dtype=dtype)
-        s, _ = jax.lax.scan(step, init, u1)
-        tau_ahead = lightfield.query_tau_field(scene.env_t_field, s.cur_pos,
-                                               s.cur_dir, vol)
-        live = ~s.done & (tau_ahead > 1e-4)
-        m = min(n, max(1024, int(n * pt.march_live_fraction)))
-        sel = jnp.argsort(~live)[:m]
-        sub = S(*[jnp.take(x, sel, axis=0) for x in s])
+                                (p1, 4, m0), dtype=dtype)
+        sub, _ = jax.lax.scan(step, sub, u1)
+        tau_ahead = lightfield.query_tau_field(scene.env_t_field,
+                                               sub.cur_pos, sub.cur_dir, vol)
+        live = ~sub.done & (tau_ahead > 1e-4)
+        m1 = min(m0, max(1024, int(n * pt.march_live_fraction)))
+        sel1 = jnp.argsort(~live)[:m1]
+        sub2 = S(*[jnp.take(x, sel1, axis=0) for x in sub])
         u2 = jax.random.uniform(jax.random.fold_in(key, 1),
-                                (max_bounces - p1, 4, m), dtype=dtype)
-        sub, _ = jax.lax.scan(step, sub, u2)
-        s = S(*[x.at[sel].set(y) for x, y in zip(s, sub)])
+                                (max_bounces - p1, 4, m1), dtype=dtype)
+        sub2, _ = jax.lax.scan(step, sub2, u2)
+        sub = S(*[x.at[sel1].set(y) for x, y in zip(sub, sub2)])
+        if sel0 is not None:
+            s = S(*[x.at[sel0].set(y) for x, y in zip(init, sub)])
+        else:
+            s = sub
 
     # ---- Phase 2: shade the recorded events ----
     valid = slot_iota < s.cnt[:, None]  # (N, K)

@@ -204,15 +204,23 @@ def generate_train_batch(scene: Scene, cfg: NRCConfig,
                          key: jax.Array) -> TrainBatch:
     """Full train-batch generation for one frame: train-grid rays -> RR
     vertices -> averaged path-traced targets (clamped to target_clamp,
-    nrc-train.comp:987).
+    nrc-train.comp:987)."""
+    ro, rd = pixel_rays(scene.camera, cfg.train.train_width,
+                        cfg.train.train_height)
+    return generate_train_batch_for_rays(scene, cfg, key, ro, rd)
+
+
+def generate_train_batch_for_rays(scene: Scene, cfg: NRCConfig,
+                                  key: jax.Array, ro: jnp.ndarray,
+                                  rd: jnp.ndarray) -> TrainBatch:
+    """Train batch for an explicit ray set (the data-parallel path passes
+    each device's shard).
 
     The `target_samples` estimates run as ONE batched walk of
     (target_samples * n_rays) rays -- bigger batches amortize the
     descriptor-bound gathers far better than the reference's per-thread
     sample loop (nrc-train.comp:1217-1223) translated literally."""
     k_v, k_t = jax.random.split(key)
-    ro, rd = pixel_rays(scene.camera, cfg.train.train_width,
-                        cfg.train.train_height)
     pos, d = choose_train_vertices(scene, cfg, ro, rd, k_v)
 
     s_count = cfg.train.target_samples

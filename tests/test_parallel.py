@@ -117,3 +117,20 @@ def test_dp_grad_is_mean_of_local_grads():
         np.testing.assert_allclose(np.asarray(mean_mlp[k]),
                                    np.asarray(g_mlp[k]), rtol=1e-4,
                                    atol=1e-7)
+
+
+def test_dp_render_banded_runs():
+    """Banded DP render: rows sharded over devices, per-device lax.map over
+    local bands (the production multi-chip frame shape)."""
+    from neuralradiancecaching_tpu.parallel import dp_render_banded
+
+    cfg = dp_config()
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, width=16, height=16))
+    scene = tiny_scene(cfg)
+    mesh = make_mesh()
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    img = dp_render_banded(state, scene, jax.random.PRNGKey(3), cfg, mesh,
+                           band_rows=2)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
