@@ -77,7 +77,12 @@ class MLPConfig:
     # HBM activation round-trips -- the TPU counterpart of the reference's
     # fully-fused ApplyWeights0-5 (nrc-forward.frag:503-534). Training
     # gradients always use the jnp path. Falls back to jnp off-TPU.
-    fused_inference: bool = True
+    # MEASURED A/B @1080p bench settings (518k queries/frame): jnp wins by
+    # ~1% (1555 vs 1570 ms) -- the query phase is gather-bound, and XLA
+    # fuses the six tiny matmuls well on its own -- so the default is OFF.
+    # The kernel remains the right primitive when the MLP dominates
+    # (standalone 113 Mqueries/s, ~24x the query phase's effective rate).
+    fused_inference: bool = False
 
 
 @dataclass(frozen=True)
@@ -283,8 +288,11 @@ class PathTraceConfig:
     # ahead (one tau gather) can never scatter -- they render as env
     # see-through without marching at all. Survivors are compacted to
     # `march_entry_fraction * n_rays` lanes before phase 1 (measured ~25%
-    # at reference cameras). 0 disables (march every ray full-width).
-    march_entry_fraction: float = 0.375
+    # entry-live at reference cameras). MEASURED A/B @1080p: 1570 ms vs
+    # 1396 ms WITHOUT it -- the tau probe + state compaction overhead
+    # exceeds the 6 saved full-width steps, so the default is OFF (0);
+    # kept selectable for scenes with deeper marches.
+    march_entry_fraction: float = 0.0
 
     def __post_init__(self):
         if self.compact_events > 0:
