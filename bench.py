@@ -38,11 +38,12 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     frames = int(os.environ.get("BENCH_FRAMES", 5))
     spp = int(os.environ.get("BENCH_SPP", 1))
-    # banded rendering keeps per-dispatch transients bounded; 0 = whole frame
-    # (measured: 108-row bands fastest; 135-row bands crash the remote
-    # compile helper's resource check; 216 is slower)
-    default_band = 108 if height % 108 == 0 else (54 if height % 54 == 0
-                                                  else 0)
+    # banded rendering keeps per-band transients bounded; 0 = whole frame.
+    # Measured sweep @1080p (scripts/profile_bands.py): 54-row bands
+    # fastest (1316 ms) vs 108 (1382), 216 (1641), 540 (1760) -- the
+    # compaction argsorts are superlinear and smaller working sets win.
+    default_band = 54 if height % 54 == 0 else (108 if height % 108 == 0
+                                                else 0)
     band = int(os.environ.get("BENCH_BAND", default_band)) or None
 
     cfg = cfg_mod.progressive_1080p_config()
@@ -74,8 +75,11 @@ def main():
     ro, rd = pixel_rays(scene.camera, width, height)
     res = pathtrace.trace_path(scene, cfg, ro[::stride], rd[::stride],
                                jax.random.PRNGKey(99), use_nn=True)
+    # the cap is applied FRAME-GLOBALLY (queries deferred out of the bands),
+    # so it only needs margin for frame-to-frame variation of the mean
+    # fraction, not per-band skew
     qfrac = float(np.asarray((res.query_weight > 0).mean()))
-    cap = min(1.0, float(np.ceil((qfrac * 1.6 + 0.02) / 0.125) * 0.125))
+    cap = min(1.0, float(np.ceil((qfrac * 1.15 + 0.01) / 0.0625) * 0.0625))
     # ... and the pre-march entry cap from the measured fraction of rays
     # with any optical depth at their entry point
     from neuralradiancecaching_tpu.ops import lightfield, volume as vol_ops

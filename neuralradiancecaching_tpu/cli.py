@@ -81,11 +81,11 @@ def _build_scene(cfg):
 
 
 def _band_rows(width: int, height: int) -> int | None:
-    """Band height for tiled rendering of large frames (whole-frame
-    programs beyond ~1M rays can crash the remote compile helper)."""
+    """Band height for tiled rendering of large frames. 54-row bands
+    measured fastest at 1080p (scripts/profile_bands.py)."""
     if width * height <= 512 * 512:
         return None
-    for rows in (108, 54, 64, 32, 16):
+    for rows in (54, 108, 64, 32, 16):
         if height % rows == 0:
             return rows
     return None

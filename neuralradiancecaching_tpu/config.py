@@ -322,13 +322,23 @@ class TrainConfig:
     # out), which with the default zero-strength dir/point lights makes all
     # targets black. 0 reproduces that; >0 makes the cache learn env light.
     env_samples: int = 8
-    # cross-ray event compaction for target generation: the 64-step target
-    # walks scatter on ~32 steps on average (measured, reference scene), so
-    # shading is capped at `compact_events * n_rays` events packed to the
-    # front in STEP-major order -- overflow drops are the deepest (dimmest)
-    # scatter events across all rays, not specific rays. 0 = shade all
-    # steps*n slots.
-    compact_events: float = 44.0
+    # trip count of the RR vertex-selection walk (TracePathAndLearn,
+    # nrc-train.comp:1190-1209). The reference iterates target_bounces (64)
+    # times, but survival past step k has probability rr_decay^(k(k-1)/2)
+    # (termProb decays every bounce): past step 16 that is < 2^-120, so 16
+    # steps are distributionally indistinguishable from 64 at a quarter of
+    # the walk cost.
+    vertex_walk_steps: int = 16
+    # cross-ray event compaction for target generation: shading capped at
+    # `compact_events * n_rays` events packed to the front in STEP-major
+    # order (overflow drops are the deepest, dimmest scatter events across
+    # all rays). MEASURED @reference settings: the target walks scatter on
+    # ~32 of 64 steps, and at that density the argsort + scatter-backs cost
+    # MORE than dense-shading the invalid slots (502 ms vs 299 ms) -- so
+    # the default is 0 (dense). Compaction stays selectable for sparser
+    # scenes. (The RENDER-side compaction is separate and wins there: ~2.2
+    # valid of 8 slots.)
+    compact_events: float = 0.0
 
     @property
     def n_rays(self) -> int:

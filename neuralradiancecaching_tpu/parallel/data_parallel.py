@@ -110,49 +110,67 @@ def dp_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "band_rows"))
 def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
-                     cfg: NRCConfig, mesh, band_rows: int = 108
+                     cfg: NRCConfig, mesh, band_rows: int = 54
                      ) -> jnp.ndarray:
-    """Data-parallel banded render: rows sharded over devices, each device
-    lax.map's over its local row bands (the multi-chip version of
-    ``render.tiled.render_banded``). Transients stay band-sized per device,
-    so production frames (1080p+) compile. Returns (H, W, 3)."""
+    """Data-parallel banded render: row bands STRIPED over devices (device d
+    takes bands d, d+n, d+2n, ...), each device lax.map's over its local
+    bands then finishes with a device-local compacted cache query.
+
+    Striping matters twice: (a) march/shade work per band varies hugely
+    between sky and cloud bands, so contiguous row blocks would leave most
+    devices idle behind the cloud-heavy one; (b) the query-cap fraction per
+    device stays near the frame mean (a contiguous cloud block would need
+    ~3x the cap). Transients stay band-sized per device, so production
+    frames compile. Returns (H, W, 3)."""
+    if not cfg.render.use_nn:
+        raise ValueError("dp_render_banded is the NN path; use dp_render "
+                         "for cache-off frames")
     h, w = cfg.render.height, cfg.render.width
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     if h % (n_dev * band_rows) != 0:
         raise ValueError(
             f"height {h} must divide into {n_dev} devices x {band_rows}-row "
             f"bands")
+    n_bands = h // band_rows
     ro, rd = pixel_rays(scene.camera, w, h)
+    # stripe: order bands so device d holds global bands d, d+n_dev, ...
+    band_of_dev = np.arange(n_bands).reshape(-1, n_dev).T.reshape(-1)
+    inverse = np.argsort(band_of_dev)
+    ro_s = ro.reshape(n_bands, band_rows * w, 3)[band_of_dev].reshape(-1, 3)
+    rd_s = rd.reshape(n_bands, band_rows * w, 3)[band_of_dev].reshape(-1, 3)
+    band_ids = jnp.asarray(band_of_dev.reshape(n_dev, -1), jnp.int32)
 
-    def body(s, sc, k, ro_l, rd_l):
-        # ro_l: this device's (rows_local * w, 3) shard
+    def body(s, sc, k, ro_l, rd_l, ids_l):
+        bands = ro_l.shape[0] // (band_rows * w)
+        ro_b = ro_l.reshape(bands, band_rows * w, 3)
+        rd_b = rd_l.reshape(bands, band_rows * w, 3)
+
+        def band(args):
+            gid, ro_i, rd_i = args
+            # key by GLOBAL band id -> image independent of mesh size
+            return pathtrace.render_band_deferred(
+                sc, cfg, ro_i, rd_i,
+                jax.random.fold_in(k, gid * band_rows))
+
+        rgb, trans, qp, qd, qw = jax.lax.map(band, (ids_l[0], ro_b, rd_b))
         baked = nrc.bake(s, cfg)
 
         def query_fn(qpos, qdir):
             return nrc.query_baked(s, baked, qpos, qdir, cfg)
 
-        bands = ro_l.shape[0] // (band_rows * w)
-        ro_b = ro_l.reshape(bands, band_rows * w, 3)
-        rd_b = rd_l.reshape(bands, band_rows * w, 3)
-        kd = _device_key(k)
-
-        def band(args):
-            i, ro_i, rd_i = args
-            rgb, _ = pathtrace.render_image(sc, cfg, ro_i, rd_i,
-                                            jax.random.fold_in(kd, i),
-                                            query_fn=query_fn)
-            return rgb
-
-        out = jax.lax.map(band, (jnp.arange(bands, dtype=jnp.int32),
-                                 ro_b, rd_b))
-        return out.reshape(-1, 3)
+        out = pathtrace.finish_deferred(
+            sc, cfg, ro_l, rd_l, rgb.reshape(-1, 3), trans.reshape(-1),
+            qp.reshape(-1, 3), qd.reshape(-1, 3), qw.reshape(-1), query_fn)
+        return out
 
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
         check_vma=False)
-    rgb = fn(state, scene, key, ro, rd)
+    rgb = fn(state, scene, key, ro_s, rd_s, band_ids)
+    rgb = rgb.reshape(n_bands, band_rows * w, 3)[jnp.asarray(inverse)]
     return rgb.reshape(h, w, 3)
 
 

@@ -413,6 +413,70 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     return PathResult(scattered, t_final, s.q_pos, s.q_dir, q_w)
 
 
+def render_band_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
+                         rd: jnp.ndarray, key: jax.Array):
+    """Band-local render work with the cache query DEFERRED to the caller.
+
+    Query fractions are wildly non-uniform across row bands (measured 0.00
+    in sky bands vs 0.40 in cloud-center bands against a 0.14 frame mean),
+    so a per-band query cap either over-provisions sky bands or silently
+    drops queries exactly where the cloud is. Banded callers therefore run
+    the march+shade per band and compact the recorded queries GLOBALLY
+    across the frame: slots flow to the bands that need them and the cap
+    can sit just above the frame-mean fraction with zero drops.
+
+    Returns (rgb_without_cache, trans, query_pos, query_dir, query_weight);
+    spp must be 1 (banded production rendering accumulates externally).
+    """
+    assert cfg.render.spp == 1, "deferred-query path is spp=1"
+    res = trace_path(scene, cfg, ro, rd, key, use_nn=True)
+    q_w = (jnp.zeros_like(res.query_weight) if cfg.render.show_non_nn
+           else res.query_weight)
+    return (res.scattered, res.transmittance, res.query_pos, res.query_dir,
+            q_w)
+
+
+def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
+                    rd: jnp.ndarray, rgb: jnp.ndarray, trans: jnp.ndarray,
+                    q_pos: jnp.ndarray, q_dir: jnp.ndarray,
+                    q_w: jnp.ndarray, query_fn: QueryFn) -> jnp.ndarray:
+    """Global finish for deferred bands: one frame-wide compacted cache
+    query + the env miss/see-through composite (frag:848-864).
+    Returns final rgb (N, 3)."""
+    n = rgb.shape[0]
+    frac = cfg.render.query_cap_fraction
+    has_q = q_w > 0.0
+    # the hash encode at full frame width exceeds the axon compile helper's
+    # program limit (measured: 26k-row encodes compile, 388k crash), so the
+    # compacted queries are evaluated in fixed-size lax.map chunks
+    chunk = 32768
+    if frac < 1.0:
+        capq = min(n, max(1024, int(n * frac)))
+        if capq > chunk:  # round up to whole chunks (never exceeding n)
+            capq = min(-(-capq // chunk) * chunk, n)
+        sel = jnp.argsort(~has_q)[:capq]
+        qsel_p = jnp.take(q_pos, sel, axis=0)
+        qsel_d = jnp.take(q_dir, sel, axis=0)
+        if capq > chunk and capq % chunk == 0:
+            cache_sel = jax.lax.map(
+                lambda ab: query_fn(ab[0], ab[1]),
+                (qsel_p.reshape(-1, chunk, 3),
+                 qsel_d.reshape(-1, chunk, 3))).reshape(capq, 3)
+        else:
+            cache_sel = query_fn(qsel_p, qsel_d)
+        cache_sel = jnp.where(jnp.take(has_q, sel)[:, None], cache_sel, 0.0)
+        cache = jnp.zeros((n, 3), dtype=rgb.dtype).at[sel].set(cache_sel)
+    else:
+        cache = jnp.where(has_q[:, None], query_fn(q_pos, q_dir), 0.0)
+    rgb = rgb + q_w[:, None] * cache
+
+    env_color = envmap_ops.sample_direct(scene.env, rd, hpm=False)
+    _, _, hit = volume_ops.ray_aabb(ro, rd, cfg.volume.box_size,
+                                    cfg.volume.box_center)
+    see_through = trans >= 1.0
+    return jnp.where((~hit | see_through)[:, None], env_color, rgb)
+
+
 def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                  rd: jnp.ndarray, key: jax.Array,
                  query_fn: Optional[QueryFn] = None

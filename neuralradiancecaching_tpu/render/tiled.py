@@ -13,10 +13,14 @@ Two strategies, same math:
   re-dispatched per band). Kept for environments where a whole-frame
   program cannot be compiled (the remote compile helper used by the axon
   tunnel crashes on very large programs); also what the multi-host DP path
-  builds on. Returns a DEVICE array -- the old per-band np.asarray forced a
-  device->host transfer per band (~24 MB per 1080p frame at the ~20 MB/s
-  tunnel rate = over 1 s/frame); callers that want numpy do one transfer at
-  the end.
+  builds on. Returns a DEVICE array -- callers that want numpy do one
+  transfer at the end (the tunnel moves ~20 MB/s).
+
+In NN mode both run the march+shade per band but DEFER the cache query to
+one frame-global compacted pass (pathtrace.render_band_deferred /
+finish_deferred): per-band query fractions vary 0.00-0.40 against a ~0.14
+frame mean, so per-band caps either waste slots in sky bands or silently
+drop queries in cloud bands; the global pass does neither.
 """
 
 from __future__ import annotations
@@ -35,15 +39,29 @@ from neuralradiancecaching_tpu.scene.scene import Scene
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _render_band(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
-                 key: jax.Array, ro: jnp.ndarray, rd: jnp.ndarray,
-                 cfg: NRCConfig):
+def _band_deferred(scene: Scene, key: jax.Array, ro: jnp.ndarray,
+                   rd: jnp.ndarray, cfg: NRCConfig):
+    return pathtrace.render_band_deferred(scene, cfg, ro, rd, key)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _band_plain(scene: Scene, key: jax.Array, ro: jnp.ndarray,
+                rd: jnp.ndarray, cfg: NRCConfig):
+    rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, key, query_fn=None)
+    return rgb
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _finish(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
+            rgb, trans, q_pos, q_dir, q_w, cfg: NRCConfig):
     def query_fn(qpos, qdir):
         return nrc.query_baked(state, baked, qpos, qdir, cfg)
 
-    rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, key,
-                                    query_fn=query_fn)
-    return rgb
+    # rays recomputed in-program (camera math is trivial; passing 2M-row
+    # rays eagerly would cost host dispatches per frame)
+    ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+    return pathtrace.finish_deferred(scene, cfg, ro, rd, rgb, trans,
+                                     q_pos, q_dir, q_w, query_fn)
 
 
 def render_tiled(state: nrc.NRCState, scene: Scene, key: jax.Array,
@@ -54,47 +72,73 @@ def render_tiled(state: nrc.NRCState, scene: Scene, key: jax.Array,
     """
     h, w = cfg.render.height, cfg.render.width
     ro, rd = pixel_rays(scene.camera, w, h)
-    ro = ro.reshape(h, w, 3)
-    rd = rd.reshape(h, w, 3)
     assert h % band_rows == 0, (h, band_rows)
-    baked = nrc.bake(state, cfg)  # once per frame, shared by all bands
-    bands = []
-    for y0 in range(0, h, band_rows):
-        kb = jax.random.fold_in(key, y0)
-        band = _render_band(state, baked, scene, kb,
-                            ro[y0:y0 + band_rows].reshape(-1, 3),
-                            rd[y0:y0 + band_rows].reshape(-1, 3), cfg)
-        bands.append(band.reshape(band_rows, w, 3))
-    return jnp.concatenate(bands, axis=0)
+    rob = ro.reshape(h // band_rows, band_rows * w, 3)
+    rdb = rd.reshape(h // band_rows, band_rows * w, 3)
+    if not cfg.render.use_nn:
+        bands = [_band_plain(scene, jax.random.fold_in(key, y0 * band_rows),
+                             rob[y0], rdb[y0], cfg)
+                 for y0 in range(h // band_rows)]
+        return jnp.concatenate(bands, axis=0).reshape(h, w, 3)
+
+    parts = [_band_deferred(scene, jax.random.fold_in(key, y0 * band_rows),
+                            rob[y0], rdb[y0], cfg)
+             for y0 in range(h // band_rows)]
+    rgb, trans, qp, qd, qw = (jnp.concatenate([p[i] for p in parts], axis=0)
+                              for i in range(5))
+    baked = nrc.bake(state, cfg)
+    out = _finish(state, baked, scene, rgb, trans, qp, qd, qw, cfg)
+    return out.reshape(h, w, 3)
 
 
 @partial(jax.jit, static_argnames=("cfg", "band_rows"))
-def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
-                  cfg: NRCConfig, band_rows: int = 108) -> jnp.ndarray:
-    """Whole frame as ONE jitted program: ``lax.map`` over row bands.
-
-    Numerically identical to :func:`render_tiled` with the same band size
-    and per-band fold_in keys (tested); transients stay band-sized because
-    lax.map is sequential.
-    """
+def _bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
+                   band_rows: int):
+    """lax.map over row bands: march + shade, queries deferred."""
     h, w = cfg.render.height, cfg.render.width
-    assert h % band_rows == 0, (h, band_rows)
     n_bands = h // band_rows
     ro, rd = pixel_rays(scene.camera, w, h)
     ro_b = ro.reshape(n_bands, band_rows * w, 3)
     rd_b = rd.reshape(n_bands, band_rows * w, 3)
     y0s = jnp.arange(n_bands, dtype=jnp.int32) * band_rows
-    baked = nrc.bake(state, cfg)
 
-    def query_fn(qpos, qdir):
-        return nrc.query_baked(state, baked, qpos, qdir, cfg)
+    if not cfg.render.use_nn:
+        def band_plain(args):
+            y0, ro_i, rd_i = args
+            rgb, _ = pathtrace.render_image(scene, cfg, ro_i, rd_i,
+                                            jax.random.fold_in(key, y0),
+                                            query_fn=None)
+            return rgb
+
+        return jax.lax.map(band_plain, (y0s, ro_b, rd_b))
 
     def band(args):
         y0, ro_i, rd_i = args
-        kb = jax.random.fold_in(key, y0)
-        rgb, _ = pathtrace.render_image(scene, cfg, ro_i, rd_i, kb,
-                                        query_fn=query_fn)
-        return rgb
+        return pathtrace.render_band_deferred(scene, cfg, ro_i, rd_i,
+                                              jax.random.fold_in(key, y0))
 
-    out = jax.lax.map(band, (y0s, ro_b, rd_b))  # (n_bands, band*w, 3)
+    return jax.lax.map(band, (y0s, ro_b, rd_b))
+
+
+def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
+                  cfg: NRCConfig, band_rows: int = 54) -> jnp.ndarray:
+    """Whole frame as TWO jitted programs: ``lax.map`` over row bands for
+    the march+shade, then a frame-global compacted cache query. (One fused
+    program exceeds the axon remote compile helper's size limit at 1080p;
+    two dispatches cost ~5 ms and compile everywhere.)
+
+    Numerically identical to :func:`render_tiled` with the same band size
+    (tested); transients stay band-sized because lax.map is sequential.
+    """
+    h, w = cfg.render.height, cfg.render.width
+    assert h % band_rows == 0, (h, band_rows)
+    if not cfg.render.use_nn:
+        out = _bands_program(scene, key, cfg, band_rows)
+        return out.reshape(h, w, 3)
+
+    rgb, trans, qp, qd, qw = _bands_program(scene, key, cfg, band_rows)
+    baked = nrc.bake(state, cfg)
+    out = _finish(state, baked, scene, rgb.reshape(-1, 3),
+                  trans.reshape(-1), qp.reshape(-1, 3), qd.reshape(-1, 3),
+                  qw.reshape(-1), cfg)
     return out.reshape(h, w, 3)

@@ -49,34 +49,39 @@ def main():
     state = nrc.init_state(jax.random.PRNGKey(0), cfg)
     key = jax.random.PRNGKey(3)
 
-    timeit("train_only_step", jax.jit(
-        lambda k: frame_mod.train_only_step(state, scene, k, cfg)), key)
+    # NOTE: arrays must be jit ARGUMENTS -- closing over scene/state bakes
+    # the ~200 MB fields into the HLO as constants and the remote compile
+    # service rejects the request (HTTP 413)
+    timeit("train_only_step",
+           lambda k: frame_mod.train_only_step(state, scene, k, cfg), key)
 
-    gen = jax.jit(lambda k: targets.generate_train_batch(scene, cfg, k))
-    timeit("generate_train_batch", gen, key)
+    gen = jax.jit(targets.generate_train_batch, static_argnames=("cfg",))
+    timeit("generate_train_batch", lambda k: gen(scene, cfg, k), key)
 
     ro, rd = pixel_rays(scene.camera, cfg.train.train_width,
                         cfg.train.train_height)
-    timeit("choose_train_vertices", jax.jit(
-        lambda k: targets.choose_train_vertices(scene, cfg, ro, rd, k)), key)
+    choose = jax.jit(targets.choose_train_vertices,
+                     static_argnames=("cfg",))
+    timeit("choose_train_vertices",
+           lambda k: choose(scene, cfg, ro, rd, k), key)
 
-    pos, d = targets.choose_train_vertices(scene, cfg, ro, rd, key)
+    pos, d = choose(scene, cfg, ro, rd, key)
     s = cfg.train.target_samples
     pos_t, d_t = jnp.tile(pos, (s, 1)), jnp.tile(d, (s, 1))
-    timeit("trace_target_paths", jax.jit(
-        lambda k: targets.trace_target_paths(scene, cfg, pos_t, d_t, k)), key)
+    tracet = jax.jit(targets.trace_target_paths, static_argnames=("cfg",))
+    timeit("trace_target_paths",
+           lambda k: tracet(scene, cfg, pos_t, d_t, k), key)
 
-    batch = gen(key)
+    batch = gen(scene, cfg, key)
     sync(batch)
-    timeit("compute_grads", jax.jit(
-        lambda b: nrc.compute_grads(state, b.pos, b.dir, b.target, cfg)),
-        batch)
+    cg = jax.jit(nrc.compute_grads, static_argnames=("cfg",))
+    timeit("compute_grads",
+           lambda b: cg(state, b.pos, b.dir, b.target, cfg), batch)
 
-    grads, _ = nrc.compute_grads(state, batch.pos, batch.dir, batch.target,
-                                 cfg)
+    grads, _ = cg(state, batch.pos, batch.dir, batch.target, cfg)
     sync(grads)
-    timeit("apply_grads", jax.jit(
-        lambda g: nrc.apply_grads(state, g, cfg)), grads)
+    ag = jax.jit(nrc.apply_grads, static_argnames=("cfg",))
+    timeit("apply_grads", lambda g: ag(state, g, cfg), grads)
 
 
 if __name__ == "__main__":
