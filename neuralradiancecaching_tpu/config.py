@@ -262,6 +262,20 @@ class PathTraceConfig:
     # (nrc-forward.frag:816, nrc-train.comp:1165)
     step_fraction: float = 0.1
     rr_decay: float = 0.5  # Russian-roulette survival decay per bounce
+    # distance sampler for the scatter walk:
+    #   'reference' -- the reference's sequential march: up to max_bounces
+    #                  density fetches per ray with U(0, 0.1*d_exit) steps
+    #                  (nrc-forward.frag:758-822; fidelity baseline)
+    #   'collision' -- analytic inverse-CDF free-flight sampling from a
+    #                  baked cumulative-tau field (ops/collision.py): ONE
+    #                  row gather per scatter event, analytic scatter
+    #                  probability 1-exp(-tau) as the branch weight. The
+    #                  delta-tracking-class unbiased estimator the north
+    #                  star asks for, TPU-shaped (no rejection loop).
+    sampler: str = "reference"
+    # quadrature steps per (voxel, dir) bucket when baking the collision
+    # field's cumulative-tau profile
+    collision_field_steps: int = 48
     # segment transmittance between scatter vertices (and to dir/point
     # lights): 'field' = two tau-field row gathers per segment
     # (ops/lightfield.py segment_transmittance_field, fast TPU path);
@@ -460,4 +474,8 @@ def progressive_1080p_config() -> "NRCConfig":
         camera=CameraConfig(aspect=1920.0 / 1080.0),
         render=RenderConfig(width=1920, height=1080, use_nn=True),
         env_map=EnvMapConfig(in_scatter_mode="field"),
+        # analytic collision sampling: one row gather per scatter event
+        # instead of the 32-step sequential density march (measured ~2.5x
+        # whole-frame speedup at 1080p, docs/PERFORMANCE.md r2)
+        path=PathTraceConfig(sampler="collision"),
     )

@@ -144,6 +144,140 @@ class PathResult(NamedTuple):
     query_weight: jnp.ndarray  # (N,) T * dirPhase at the RR cut; 0 if none
 
 
+def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
+                         rd: jnp.ndarray, key: jax.Array, use_nn: bool,
+                         env_samples: int | None = None,
+                         max_bounces: int | None = None) -> PathResult:
+    """Analytic-collision path walk (PathTraceConfig.sampler='collision').
+
+    Replaces the reference's 32-step sequential density march with exact
+    free-flight inverse-CDF sampling from the baked collision field
+    (ops/collision.py): per scatter event, ONE row gather yields the total
+    optical depth ahead (bilinear over direction) and the quantile knots of
+    its cumulative profile. The scatter/escape branch is integrated
+    ANALYTICALLY -- every event carries weight prod_j (1 - exp(-tau_j))
+    instead of a sampled binary -- so K = expected-event-count slots replace
+    the reference's max_bounces march steps, and the shading phase needs no
+    per-segment transmittance at all.
+
+    Estimator semantics (vs the 'reference' sampler, which reproduces the
+    reference's ad-hoc U(0, 0.1 d_exit) scheme of nrc-forward.frag:814-818):
+    this is the physically-based transmittance-sampled walk with
+    next-event-estimation lighting and analytic primary see-through
+    T0 = exp(-tau_0) -- the delta-tracking-class estimator BASELINE.json's
+    north star asks for. PathResult.transmittance holds T0 (the composite
+    adds T0 * env analytically; see render_image / finish_deferred).
+    """
+    from neuralradiancecaching_tpu.ops import collision
+
+    vol = cfg.volume
+    pt = cfg.path
+    if env_samples is None:
+        env_samples = cfg.env_map.n_samples
+    if max_bounces is None:
+        max_bounces = pt.max_bounces
+    # with RR (survival halves per event) P(>6 events) < 2^-21: 6 slots are
+    # distributionally exact; without RR every slot can scatter
+    k_steps = min(6, max_bounces) if use_nn else max_bounces
+    n = ro.shape[0]
+    dtype = ro.dtype
+    half = jnp.asarray(vol.box_size, dtype) * 0.5
+    ctr = jnp.asarray(vol.box_center, dtype)
+
+    entry, _, hit = volume_ops.entry_exit_points(ro, rd, vol.box_size,
+                                                 vol.box_center)
+
+    # scan carry is deliberately minimal (pos, dir, weight, term_prob, done
+    # -- measured: per-step cost is state-width-bound once the gather is
+    # single-row); events AND the RR-cut query are recorded as step-major
+    # scan outputs, the cut reduced afterwards (it fires at most once).
+    class S(NamedTuple):
+        pos: jnp.ndarray        # (N, 3) current vertex
+        dir: jnp.ndarray        # (N, 3) current direction
+        weight: jnp.ndarray     # (N,) prod of past scatter probabilities
+        term_prob: jnp.ndarray  # (N,) RR survival threshold
+        done: jnp.ndarray       # (N,) bool
+
+    init = S(pos=entry, dir=rd, weight=jnp.ones((n,), dtype=dtype),
+             term_prob=jnp.ones((n,), dtype=dtype), done=~hit)
+
+    def step(s: S, u_step):
+        u_rr, u_t, u_hg1, u_hg2 = (u_step[0], u_step[1], u_step[2],
+                                   u_step[3])
+        tau, knots = collision.query_collision_rows(scene.coll_field,
+                                                    s.pos, s.dir, vol)
+        p_sc = -jnp.expm1(-tau)
+        alive = ~s.done & (p_sc > 1e-6)
+        t = collision.knots_to_distance(tau, knots, u_t)
+        # knots are baked from the bucket's voxel center, so a sampled point
+        # can overshoot the box by up to a field voxel -- clamp (queries and
+        # encodes expect in-box positions)
+        x = jnp.clip(s.pos + t[:, None] * s.dir, ctr - half, ctr + half)
+
+        if use_nn:
+            terminate = alive & (u_rr > s.term_prob)
+            scatter = alive & ~terminate
+        else:
+            terminate = jnp.zeros_like(alive)
+            scatter = alive
+
+        ev_w = s.weight * p_sc
+        weight = jnp.where(scatter, ev_w, s.weight)
+        term_prob = jnp.where(scatter, s.term_prob * pt.rr_decay,
+                              s.term_prob)
+        new_dir = phase_ops.hg_direction_from_uniforms(u_hg1, u_hg2, s.dir,
+                                                       vol.hg_g)
+        dir2 = jnp.where(scatter[:, None], new_dir, s.dir)
+        pos2 = jnp.where(scatter[:, None], x, s.pos)
+        done = s.done | terminate | ~alive
+
+        ys = (x, s.dir, ev_w, scatter, terminate, tau)
+        return S(pos2, dir2, weight, term_prob, done), ys
+
+    u_march = jax.random.uniform(jax.random.fold_in(key, 0),
+                                 (k_steps, 4, n), dtype=dtype)
+    _, (ev_pos, ev_dir, ev_w, ev_valid, ev_term, ev_tau) = jax.lax.scan(
+        step, init, u_march)
+    # step-major (K, N, ...) -- slot k IS event k (every live step is a
+    # scatter event), so there is no per-slot scatter in the scan
+
+    # primary see-through: T0 = exp(-tau of the camera segment)
+    t0_trans = jnp.where(hit, jnp.exp(-ev_tau[0]), jnp.ones((n,), dtype))
+
+    k_scene = jax.random.fold_in(key, k_steps + 1)
+
+    def shade_slot(args):
+        slot_idx, e_pos, e_dir = args
+        return trace_scene(scene, cfg, e_pos, e_dir,
+                           jax.random.fold_in(k_scene, slot_idx),
+                           env_samples)
+
+    light = jax.lax.map(shade_slot,
+                        (jnp.arange(k_steps, dtype=jnp.int32), ev_pos,
+                         ev_dir))  # (K, N, 3)
+    scattered = jnp.sum((ev_valid * ev_w)[..., None] * light, axis=0)
+
+    # the RR cut fires at most once per ray: reduce it from the step-major
+    # record (sum of one-hot selections)
+    term_f = ev_term.astype(dtype)  # (K, N)
+    q_w = jnp.sum(term_f * ev_w, axis=0)
+    q_pos = jnp.sum(term_f[..., None] * ev_pos, axis=0)
+    q_dir = jnp.sum(term_f[..., None] * ev_dir, axis=0)
+    has_q = jnp.any(ev_term, axis=0)
+    q_pos = jnp.where(has_q[:, None], q_pos, entry)
+    q_dir = jnp.where(has_q[:, None], q_dir, rd)
+    if use_nn and cfg.quirks.query_dir_phase:
+        # previous direction at the cut = the direction of the event one
+        # step earlier (entry dir for a cut at step 0)
+        prev = jnp.concatenate([rd[None], ev_dir[:-1]], axis=0)
+        last_dir = jnp.sum(term_f[..., None] * prev, axis=0)
+        q_w = q_w * phase_ops.hg_phase(jnp.sum(q_dir * -last_dir, axis=-1),
+                                       vol.hg_g)
+
+    return PathResult(scattered, t0_trans, q_pos, q_dir,
+                      jnp.where(has_q, q_w, 0.0))
+
+
 def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                rd: jnp.ndarray, key: jax.Array, use_nn: bool,
                env_samples: int | None = None,
@@ -179,6 +313,9 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     ro/rd: (N, 3).
     """
+    if cfg.path.sampler == "collision":
+        return trace_path_collision(scene, cfg, ro, rd, key, use_nn,
+                                    env_samples, max_bounces)
     vol = cfg.volume
     pt = cfg.path
     if env_samples is None:
@@ -471,6 +608,11 @@ def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     rgb = rgb + q_w[:, None] * cache
 
     env_color = envmap_ops.sample_direct(scene.env, rd, hpm=False)
+    if cfg.path.sampler == "collision":
+        # analytic primary see-through: trans is T0 = exp(-tau_0) (1 for
+        # misses), so the env composite is exact instead of the reference's
+        # binary transmittance==1 test
+        return rgb + trans[:, None] * env_color
     _, _, hit = volume_ops.ray_aabb(ro, rd, cfg.volume.box_size,
                                     cfg.volume.box_center)
     see_through = trans >= 1.0
@@ -520,10 +662,14 @@ def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         rgbs, transs = jax.lax.map(one_sample, keys)
         rgb, trans = jnp.mean(rgbs, axis=0), jnp.mean(transs, axis=0)
 
-    # miss & see-through -> direct env map (frag:848-864)
+    # miss & see-through -> direct env map (frag:848-864); in collision
+    # mode the primary escape is analytic: rgb += T0 * env
     env_color = envmap_ops.sample_direct(scene.env, rd, hpm=False)
-    _, _, hit = volume_ops.ray_aabb(ro, rd, cfg.volume.box_size,
-                                    cfg.volume.box_center)
-    see_through = trans >= 1.0
-    rgb = jnp.where((~hit | see_through)[:, None], env_color, rgb)
+    if cfg.path.sampler == "collision":
+        rgb = rgb + trans[:, None] * env_color
+    else:
+        _, _, hit = volume_ops.ray_aabb(ro, rd, cfg.volume.box_size,
+                                        cfg.volume.box_center)
+        see_through = trans >= 1.0
+        rgb = jnp.where((~hit | see_through)[:, None], env_color, rgb)
     return rgb, trans

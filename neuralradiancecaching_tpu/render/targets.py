@@ -112,6 +112,83 @@ def choose_train_vertices(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     return pos, d
 
 
+def choose_train_vertices_collision(scene: Scene, cfg: NRCConfig,
+                                    ro: jnp.ndarray, rd: jnp.ndarray,
+                                    key: jax.Array
+                                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Collision-sampler vertex selection (PathTraceConfig.sampler=
+    'collision').
+
+    Walks STOCHASTIC collisions (branch with probability 1-exp(-tau), exact
+    inverse-CDF distance -- one row gather per step, ops/collision.py) under
+    the reference's RR depth schedule, and returns the last collision point
+    with its INCOMING direction: in collision mode the cache represents
+    S(x, d_in) = NEE(x, d_in) + E_HG[continuation], matching the render's
+    query convention (pathtrace.trace_path_collision).
+    """
+    from neuralradiancecaching_tpu.ops import collision
+
+    vol = cfg.volume
+    pt = cfg.path
+    n = ro.shape[0]
+    dtype = ro.dtype
+
+    _, _, hit = volume_ops.ray_aabb(ro, rd, vol.box_size, vol.box_center)
+    rd = jnp.where(hit[:, None], rd,
+                   -ro / jnp.linalg.norm(ro, axis=-1, keepdims=True))
+    entry, _, _ = volume_ops.entry_exit_points(ro, rd, vol.box_size,
+                                               vol.box_center)
+    half = jnp.asarray(vol.box_size, dtype) * 0.5
+    ctr = jnp.asarray(vol.box_center, dtype)
+
+    class S(NamedTuple):
+        pos: jnp.ndarray        # segment start
+        dir: jnp.ndarray        # segment direction
+        vpos: jnp.ndarray       # chosen vertex (last collision)
+        vdir: jnp.ndarray       # its incoming direction
+        term_prob: jnp.ndarray
+        done: jnp.ndarray
+        did: jnp.ndarray
+
+    init = S(pos=entry, dir=rd, vpos=entry, vdir=rd,
+             term_prob=jnp.ones((n,), dtype=dtype),
+             done=jnp.zeros((n,), dtype=bool),
+             did=jnp.zeros((n,), dtype=bool))
+
+    def step(s: S, u_step):
+        u_rr, u_c, u_t, u_hg1, u_hg2 = (u_step[0], u_step[1], u_step[2],
+                                        u_step[3], u_step[4])
+        # stop BEFORE the bounce (reference train :1192-1196)
+        stop = (u_rr > s.term_prob) & ~s.done
+        done = s.done | stop
+        term_prob = jnp.where(done, s.term_prob, s.term_prob * pt.rr_decay)
+
+        t, p_sc = collision.sample_collision(scene.coll_field, s.pos, s.dir,
+                                             u_t, vol)
+        collide = (u_c < p_sc) & ~done
+        x = jnp.clip(s.pos + t[:, None] * s.dir, ctr - half, ctr + half)
+        done = done | (~collide & ~s.done & ~stop)  # escaped
+
+        vpos = jnp.where(collide[:, None], x, s.vpos)
+        vdir = jnp.where(collide[:, None], s.dir, s.vdir)
+        did = s.did | collide
+        new_dir = phase_ops.hg_direction_from_uniforms(u_hg1, u_hg2, s.dir,
+                                                       vol.hg_g)
+        d2 = jnp.where(collide[:, None], new_dir, s.dir)
+        pos2 = jnp.where(collide[:, None], x, s.pos)
+        return S(pos2, d2, vpos, vdir, term_prob, done, did), None
+
+    walk_steps = min(cfg.train.vertex_walk_steps or 8, 8)
+    u_walk = jax.random.uniform(key, (walk_steps, 5, n), dtype=dtype)
+    final, _ = jax.lax.scan(step, init, u_walk)
+
+    fallback_dir = -entry / jnp.maximum(
+        jnp.linalg.norm(entry, axis=-1, keepdims=True), 1e-8)
+    pos = jnp.where(final.did[:, None], final.vpos, entry)
+    d = jnp.where(final.did[:, None], final.vdir, fallback_dir)
+    return pos, d
+
+
 def trace_target_paths(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
                        d: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Batched TracePath (nrc-train.comp:1123-1171) for target generation:
@@ -225,6 +302,8 @@ def generate_train_batch_for_rays(scene: Scene, cfg: NRCConfig,
     descriptor-bound gathers far better than the reference's per-thread
     sample loop (nrc-train.comp:1217-1223) translated literally."""
     k_v, k_t = jax.random.split(key)
+    if cfg.path.sampler == "collision":
+        return _collision_train_batch(scene, cfg, k_v, k_t, ro, rd)
     pos, d = choose_train_vertices(scene, cfg, ro, rd, k_v)
 
     s_count = cfg.train.target_samples
@@ -234,4 +313,32 @@ def generate_train_batch_for_rays(scene: Scene, cfg: NRCConfig,
     scattered = trace_target_paths(scene, cfg, pos_t, d_t, k_t)
     target = jnp.mean(scattered.reshape(s_count, n, 3), axis=0)
     target = jnp.minimum(target, cfg.train.target_clamp)
+    return TrainBatch(pos=pos, dir=d, target=target)
+
+
+def _collision_train_batch(scene: Scene, cfg: NRCConfig, k_v: jax.Array,
+                           k_t: jax.Array, ro: jnp.ndarray, rd: jnp.ndarray
+                           ) -> TrainBatch:
+    """Collision-mode train batch: the target is S(x, d_in) = NEE(x, d_in) +
+    mean over `target_samples` HG-sampled continuation walks, each an
+    analytic-weight collision walk (pathtrace.trace_path_collision with the
+    env composite excluded -- continuation escapes are covered by NEE, see
+    the estimator note in trace_path_collision)."""
+    k_nee, k_dirs = jax.random.split(k_v)
+    pos, d = choose_train_vertices_collision(scene, cfg, ro, rd, k_v)
+    n = pos.shape[0]
+    s_count = cfg.train.target_samples
+
+    nee = pathtrace.trace_scene(scene, cfg, pos, d, k_nee,
+                                cfg.train.env_samples)
+
+    pos_t = jnp.tile(pos, (s_count, 1))
+    d_in_t = jnp.tile(d, (s_count, 1))
+    d_t = phase_ops.sample_hg_direction(k_dirs, d_in_t, cfg.volume.hg_g)
+    res = pathtrace.trace_path_collision(
+        scene, cfg, pos_t, d_t, k_t, use_nn=False,
+        env_samples=cfg.train.env_samples,
+        max_bounces=cfg.train.target_bounces)
+    cont = jnp.mean(res.scattered.reshape(s_count, n, 3), axis=0)
+    target = jnp.minimum(nee + cont, cfg.train.target_clamp)
     return TrainBatch(pos=pos, dir=d, target=target)

@@ -53,6 +53,9 @@ class Scene(NamedTuple):
     # HG-convolved in-scatter field, used when
     # EnvMapConfig.in_scatter_mode == 'field'; placeholder row otherwise
     env_s_field: jnp.ndarray
+    # collision field (ops/collision.py): baked free-flight inverse-CDF rows
+    # for PathTraceConfig.sampler == 'collision'; placeholder row otherwise
+    coll_field: jnp.ndarray
 
 
 def lightfield_row_width() -> int:
@@ -116,12 +119,20 @@ def make_scene(cfg: NRCConfig, density: jnp.ndarray,
             steps=cfg.env_map.transmittance_steps)
     else:
         env_s_field = jnp.zeros((1, 12), jnp.float32)
+    if cfg.path.sampler == "collision":
+        from neuralradiancecaching_tpu.ops import collision
+        coll_field = collision.build_collision_field(
+            corner_table, cfg.volume, steps=cfg.path.collision_field_steps)
+    else:
+        from neuralradiancecaching_tpu.ops.collision import ROW_WIDTH
+        coll_field = jnp.zeros((1, ROW_WIDTH), jnp.float32)
     return Scene(
         density=corner_table,
         density_grid=density,
         env_t_field=env_t_field,
         env_l_field=env_l_field,
         env_s_field=env_s_field,
+        coll_field=coll_field,
         camera=make_camera(cfg.camera),
         dir_light=make_dir_light(cfg.dir_light),
         point_light=make_point_light(cfg.point_light),

@@ -1,0 +1,199 @@
+"""Collision field (ops/collision.py): build correctness, inverse-CDF
+sampling, and the collision-sampler render path."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuralradiancecaching_tpu.config import (EnvMapConfig, NRCConfig,
+                                              PathTraceConfig, RenderConfig,
+                                              VolumeConfig)
+from neuralradiancecaching_tpu.io import assets
+from neuralradiancecaching_tpu.ops import collision
+from neuralradiancecaching_tpu.ops import volume as vol_ops
+from neuralradiancecaching_tpu.ops.lightfield import (N_PHI, N_THETA,
+                                                      _dir_from_theta_phi)
+from neuralradiancecaching_tpu.render import pathtrace
+from neuralradiancecaching_tpu.scene.camera import pixel_rays
+from neuralradiancecaching_tpu.scene.scene import make_scene
+from tests.test_render_nrc import tiny_config, tiny_scene
+
+
+def _coll_config(**render_kw):
+    cfg = tiny_config(**render_kw)
+    return dataclasses.replace(
+        cfg, path=dataclasses.replace(cfg.path, sampler="collision",
+                                      collision_field_steps=32))
+
+
+def bucket_center_dir(it: int, ip: int) -> np.ndarray:
+    th = (it + 0.5) / N_THETA * math.pi
+    ph = ((ip + 0.5) / N_PHI * 2.0 - 1.0) * math.pi
+    return np.asarray(_dir_from_theta_phi(jnp.float32(th), jnp.float32(ph)))
+
+
+def test_field_tau_matches_quadrature_uniform_box():
+    """Uniform density: tau(vox -> exit) = sigma * chord length, and the
+    quantile knots are linear in q (cumulative tau is linear)."""
+    vol = VolumeConfig(grid_shape=(16, 16, 16), box_size=(8.0, 8.0, 8.0))
+    grid = jnp.full(vol.grid_shape, 0.5, dtype=jnp.float32)
+    table = vol_ops.build_corner_table(grid)
+    field = collision.build_collision_field(table, vol, steps=64,
+                                            field_shape=(8, 8, 8))
+
+    # voxel center near the box center, bucket-center direction (no
+    # direction-interp error at bucket centers)
+    it, ip = 7, 4
+    d = bucket_center_dir(it, ip)
+    pos = jnp.asarray([[0.1, 0.1, 0.1]], jnp.float32)
+    dn = jnp.asarray(d, jnp.float32)[None, :]
+
+    tau, knots = collision.query_collision_rows(field, pos, dn, vol,
+                                                field_shape=(8, 8, 8))
+    # compare against direct quadrature from the FIELD's voxel center
+    vox_center = (jnp.floor((pos / jnp.asarray(vol.box_size) + 0.5) * 8)
+                  + 0.5) / 8
+    vc = (vox_center - 0.5) * jnp.asarray(vol.box_size)
+    _, exit_p, _ = vol_ops.entry_exit_points(vc, dn, vol.box_size,
+                                             vol.box_center)
+    t_ref = vol_ops.transmittance(table, vc, exit_p, 64, vol)
+    tau_ref = -np.log(np.asarray(t_ref))
+    np.testing.assert_allclose(np.asarray(tau)[0], tau_ref[0], rtol=0.08)
+
+    # knots linear in q for uniform density: t(q) = q * chord
+    k = np.asarray(knots)[0]
+    chord = k[-1]
+    assert chord > 0
+    np.testing.assert_allclose(k, np.linspace(0, 1, collision.N_KNOTS)
+                               * chord, atol=0.15 * chord + 1e-4)
+
+
+def test_sampled_distance_inverts_cumulative_tau():
+    """On a nonuniform profile the sampled distance t(u) must satisfy
+    tau(0 -> t) ~= tau* = -log1p(-u * p_scatter) (the exact inverse-CDF
+    property), verified by independent quadrature along the same ray."""
+    vol = VolumeConfig(grid_shape=(16, 16, 16), box_size=(8.0, 8.0, 8.0))
+    rng = np.random.default_rng(0)
+    # smooth blobby grid
+    x = np.linspace(-1, 1, 16)
+    gx, gy, gz = np.meshgrid(x, x, x, indexing="ij")
+    grid = np.exp(-4 * (gx ** 2 + gy ** 2 + gz ** 2)).astype(np.float32) * 2
+    table = vol_ops.build_corner_table(jnp.asarray(grid))
+    field = collision.build_collision_field(table, vol, steps=64,
+                                            field_shape=(8, 8, 8))
+
+    it, ip = 8, 20
+    d = bucket_center_dir(it, ip)
+    # sample FROM the field voxel center so position discretization vanishes
+    vc = ((np.floor((np.array([0.07, -0.12, 0.19]) /
+                     np.asarray(vol.box_size) + 0.5) * 8) + 0.5) / 8 - 0.5) \
+        * np.asarray(vol.box_size)
+    pos = jnp.asarray(vc, jnp.float32)[None, :]
+    dn = jnp.asarray(d, jnp.float32)[None, :]
+
+    tau, _ = collision.query_collision_rows(field, pos, dn, vol,
+                                            field_shape=(8, 8, 8))
+    tau = float(np.asarray(tau)[0])
+    assert tau > 0.3  # the blob is in the way
+
+    for u in (0.05, 0.3, 0.6, 0.9, 0.99):
+        uu = jnp.asarray([u], jnp.float32)
+        t, p_sc = collision.sample_collision(field, pos, dn, uu, vol,
+                                             field_shape=(8, 8, 8))
+        tau_star = -math.log1p(-u * float(np.asarray(p_sc)[0]))
+        x_t = pos + t[:, None] * dn
+        t_seg = vol_ops.transmittance(table, pos, x_t, 96, vol)
+        tau_meas = -float(np.log(np.asarray(t_seg)[0]))
+        assert abs(tau_meas - tau_star) < 0.12 * tau + 0.03, (
+            u, tau_meas, tau_star)
+
+
+def test_knots_monotone_and_p_scatter_zero_outside():
+    vol = VolumeConfig(grid_shape=(8, 8, 8), box_size=(4.0, 4.0, 4.0))
+    grid = jnp.zeros(vol.grid_shape, jnp.float32).at[2:6, 2:6, 2:6].set(1.0)
+    table = vol_ops.build_corner_table(grid)
+    field = collision.build_collision_field(table, vol, steps=32,
+                                            field_shape=(4, 4, 4))
+    rows = np.asarray(field)
+    knots = rows[:, 4:]
+    assert (np.diff(knots, axis=1) >= -1e-5).all()
+    # some buckets see no density at all -> tau = 0 rows exist
+    assert (rows[:, 0] == 0).any() and (rows[:, 0] > 0).any()
+
+
+def test_collision_render_zero_density_pure_env():
+    cfg = _coll_config(use_nn=False)
+    scene = tiny_scene(cfg, density_value=0.0)
+    ro, rd = pixel_rays(scene.camera, 8, 8)
+    rgb, trans = pathtrace.render_image(scene, cfg, ro, rd,
+                                        jax.random.PRNGKey(0))
+    from neuralradiancecaching_tpu.ops import envmap as envmap_ops
+    expected = envmap_ops.sample_direct(scene.env, rd, hpm=False)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(expected),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(trans), 1.0)
+
+
+def test_collision_render_finite_attenuated_deterministic():
+    cfg = _coll_config(use_nn=False)
+    cfg = dataclasses.replace(
+        cfg, camera=dataclasses.replace(cfg.camera,
+                                        position=(0.0, 0.0, -12.0)))
+    scene = tiny_scene(cfg)
+    ro, rd = pixel_rays(scene.camera, 8, 8)
+    rgb, trans = pathtrace.render_image(scene, cfg, ro, rd,
+                                        jax.random.PRNGKey(0))
+    rgb2, _ = pathtrace.render_image(scene, cfg, ro, rd,
+                                     jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert float(rgb.max()) > 0.0
+    t = np.asarray(trans)
+    assert (t >= 0).all() and (t <= 1).all() and t.min() < 1.0
+    np.testing.assert_array_equal(np.asarray(rgb), np.asarray(rgb2))
+
+
+def test_collision_trace_records_queries():
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg, camera=dataclasses.replace(cfg.camera,
+                                        position=(0.0, 0.0, -12.0)))
+    scene = tiny_scene(cfg, density_value=2.0)
+    ro, rd = pixel_rays(scene.camera, 8, 8)
+    res = pathtrace.trace_path(scene, cfg, ro, rd, jax.random.PRNGKey(1),
+                               use_nn=True)
+    qw = np.asarray(res.query_weight)
+    assert (qw >= 0).all() and qw.max() > 0  # dense volume -> RR cuts fire
+    # query weights are analytic scatter-probability products <= 1
+    assert qw.max() <= 1.0 + 1e-5
+    inside = np.abs(np.asarray(res.query_pos)) <= (
+        np.asarray(cfg.volume.box_size) * 0.5 + 1e-3)
+    assert inside[qw > 0].all()
+
+
+def test_collision_train_batch_and_frame_step():
+    """Online training end-to-end in collision mode: batch targets finite,
+    frame_step trains + renders, loss stays finite."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import frame, targets
+
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg, camera=dataclasses.replace(cfg.camera,
+                                        position=(0.0, 0.0, -12.0)))
+    scene = tiny_scene(cfg)
+    batch = targets.generate_train_batch(scene, cfg, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(batch.target)).all()
+    assert np.isfinite(np.asarray(batch.pos)).all()
+    inside = np.abs(np.asarray(batch.pos)) <= (
+        np.asarray(cfg.volume.box_size) * 0.5 + 1e-3)
+    assert inside.all()
+    assert float(np.abs(np.asarray(batch.target)).max()) > 0.0
+
+    state = nrc.init_state(jax.random.PRNGKey(1), cfg)
+    state, out = frame.frame_step(state, scene, jax.random.PRNGKey(2), cfg)
+    assert out.image.shape == (8, 8, 3)
+    assert np.isfinite(np.asarray(out.image)).all()
+    assert np.isfinite(float(out.mse))
