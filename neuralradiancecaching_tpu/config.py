@@ -308,6 +308,41 @@ class PathTraceConfig:
     # kept selectable for scenes with deeper marches.
     march_entry_fraction: float = 0.0
 
+    # collision-mode march split: after `coll_phase1_steps` full-width slots
+    # (RR survival into slot 3 is <= 12.5% of scatter-capable rays), live
+    # rays are packed to `coll_live_fraction * n_rays` lanes (O(n) cumsum
+    # compaction, ops/compact.py) for the remaining slots. The 2x headroom
+    # of 0.25 over the 0.125 worst case makes overflow drops impossible
+    # even for an all-cloud band. 0 disables the split.
+    coll_phase1_steps: int = 3
+    coll_live_fraction: float = 0.25
+    # no-NN collision walk (train targets, reference renders): weight-based
+    # Russian roulette on the continuation -- survival min(1, w/c) with the
+    # event keeping its analytic weight and survivors dividing by the
+    # survival probability (unbiased). The analytic weight prod_j p_sc
+    # decays geometrically, so this retires near-zero-weight lanes instead
+    # of dragging them through all target_bounces slots. 0 disables.
+    coll_weight_rr: float = 0.05
+    # no-NN split analogue of coll_phase1_steps/coll_live_fraction (only
+    # active when coll_weight_rr > 0, which is what retires lanes). The
+    # 0.5 cap can deterministically drop events for a pathological
+    # all-dense scene at >1024-ray scale; the bench's RMSE metric guards
+    # the reference scenes.
+    coll_nonn_phase1_steps: int = 8
+    coll_nonn_live_fraction: float = 0.5
+    # collision-mode event-shade budget (events per ray): pack valid events
+    # (O(n) cumsum) and shade once, instead of dense K-slot shading.
+    # Step-major packing means overflow drops hit the deepest (dimmest)
+    # slots first. 0 = dense shade every slot.
+    coll_shade_cap: float = 8.0
+    # defer ALL event shading (dir/point/env light) out of the row bands
+    # into one frame-global compacted pass (banded renderers, collision
+    # sampler, deterministic 'field' light modes only). Per-band event
+    # fractions vary 0..~2.5/ray against a ~0.3 frame mean -- exactly the
+    # query-skew problem -- so the global pass shades the compacted events
+    # once instead of K dense slots per band.
+    defer_shade: bool = True
+
     def __post_init__(self):
         if self.compact_events > 0:
             mean = rr_mean_events(self.rr_decay, self.max_bounces)
@@ -372,6 +407,14 @@ class RenderConfig:
     # that know the query fraction (bench auto-tunes from a warmup frame)
     # can lower it; queries beyond the cap lose their cache term.
     query_cap_fraction: float = 1.0
+    # deferred-shade event budget: shade at most `shade_cap_fraction * n`
+    # scatter events frame-wide (PathTraceConfig.defer_shade). The RR walk
+    # yields <= ~1.66 events per scatter-capable ray, so 2.0 is drop-free
+    # even for an all-cloud frame (still 3x fewer rows than the K=6 dense
+    # slots); frame-mean fractions at reference cameras are ~0.3, so
+    # callers that probe (bench.py) can tighten it. Overflow drops are
+    # deterministic (highest event slots first).
+    shade_cap_fraction: float = 2.0
 
 
 @dataclass(frozen=True)

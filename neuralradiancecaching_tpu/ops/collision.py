@@ -215,6 +215,10 @@ def knots_to_distance(tau: jnp.ndarray, knots: jnp.ndarray,
     f = q * (N_KNOTS - 1)
     i = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, N_KNOTS - 2)
     frac = f - i.astype(f.dtype)
-    lo = jnp.take_along_axis(knots, i[..., None], axis=-1)[..., 0]
-    hi = jnp.take_along_axis(knots, (i + 1)[..., None], axis=-1)[..., 0]
+    # N_KNOTS is 4: arithmetic segment select beats two take_along_axis
+    # gathers (this runs once per march step in the render hot loop)
+    k0, k1, k2, k3 = (knots[..., 0], knots[..., 1], knots[..., 2],
+                      knots[..., 3])
+    lo = jnp.where(i == 0, k0, jnp.where(i == 1, k1, k2))
+    hi = jnp.where(i == 0, k1, jnp.where(i == 1, k2, k3))
     return lo + frac * (hi - lo)

@@ -152,7 +152,8 @@ def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
                 sc, cfg, ro_i, rd_i,
                 jax.random.fold_in(k, gid * band_rows))
 
-        rgb, trans, qp, qd, qw = jax.lax.map(band, (ids_l[0], ro_b, rd_b))
+        rgb, trans, qp, qd, qw, ev = jax.lax.map(band,
+                                                 (ids_l[0], ro_b, rd_b))
         baked = nrc.bake(s, cfg)
 
         def query_fn(qpos, qdir):
@@ -160,7 +161,8 @@ def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
         out = pathtrace.finish_deferred(
             sc, cfg, ro_l, rd_l, rgb.reshape(-1, 3), trans.reshape(-1),
-            qp.reshape(-1, 3), qd.reshape(-1, 3), qw.reshape(-1), query_fn)
+            qp.reshape(-1, 3), qd.reshape(-1, 3), qw.reshape(-1), query_fn,
+            events=ev.reshape((ev.shape[0] * ev.shape[1],) + ev.shape[2:]))
         return out
 
     fn = jax.shard_map(

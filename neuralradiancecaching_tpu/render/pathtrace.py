@@ -147,7 +147,8 @@ class PathResult(NamedTuple):
 def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                          rd: jnp.ndarray, key: jax.Array, use_nn: bool,
                          env_samples: int | None = None,
-                         max_bounces: int | None = None) -> PathResult:
+                         max_bounces: int | None = None,
+                         collect_events: bool = False):
     """Analytic-collision path walk (PathTraceConfig.sampler='collision').
 
     Replaces the reference's 32-step sequential density march with exact
@@ -167,8 +168,14 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     T0 = exp(-tau_0) -- the delta-tracking-class estimator BASELINE.json's
     north star asks for. PathResult.transmittance holds T0 (the composite
     adds T0 * env analytically; see render_image / finish_deferred).
+
+    collect_events=True skips the shading phase and returns
+    (PathResult with scattered=0, events (N, K, 7)) -- ray-major packed
+    [pos(3), dir(3), weight(1)] rows with weight 0 for invalid slots --
+    for the banded renderers' frame-global deferred shading
+    (PathTraceConfig.defer_shade).
     """
-    from neuralradiancecaching_tpu.ops import collision
+    from neuralradiancecaching_tpu.ops import collision, compact
 
     vol = cfg.volume
     pt = cfg.path
@@ -223,21 +230,62 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
         ev_w = s.weight * p_sc
         weight = jnp.where(scatter, ev_w, s.weight)
+        die = jnp.zeros_like(alive)
+        if not use_nn and pt.coll_weight_rr > 0.0:
+            # weight Russian roulette on the CONTINUATION (unbiased: the
+            # current event keeps its analytic weight; survivors divide by
+            # their survival probability). The analytic per-event weight
+            # prod_j p_sc decays geometrically, so without this the no-RR
+            # walk drags near-zero-weight lanes through all
+            # target_bounces slots.
+            p_surv = jnp.clip(ev_w / pt.coll_weight_rr, 0.0, 1.0)
+            die = scatter & (u_rr >= p_surv)
+            weight = jnp.where(scatter & ~die,
+                               ev_w / jnp.maximum(p_surv, 1e-12), weight)
         term_prob = jnp.where(scatter, s.term_prob * pt.rr_decay,
                               s.term_prob)
         new_dir = phase_ops.hg_direction_from_uniforms(u_hg1, u_hg2, s.dir,
                                                        vol.hg_g)
         dir2 = jnp.where(scatter[:, None], new_dir, s.dir)
         pos2 = jnp.where(scatter[:, None], x, s.pos)
-        done = s.done | terminate | ~alive
+        done = s.done | terminate | ~alive | die
 
         ys = (x, s.dir, ev_w, scatter, terminate, tau)
         return S(pos2, dir2, weight, term_prob, done), ys
 
-    u_march = jax.random.uniform(jax.random.fold_in(key, 0),
-                                 (k_steps, 4, n), dtype=dtype)
-    _, (ev_pos, ev_dir, ev_w, ev_valid, ev_term, ev_tau) = jax.lax.scan(
-        step, init, u_march)
+    # march split: full-width slots 0..p1-1, then pack the live lanes
+    # (<= 12.5% after 3 RR-gated scatters in NN mode; weight-RR'd in no-NN
+    # mode) to a fraction of the lanes for the remaining slots (O(n)
+    # cumsum compaction)
+    if use_nn:
+        p1 = cfg.path.coll_phase1_steps
+        live_frac = cfg.path.coll_live_fraction
+    else:
+        p1 = cfg.path.coll_nonn_phase1_steps
+        live_frac = (cfg.path.coll_nonn_live_fraction
+                     if cfg.path.coll_weight_rr > 0.0 else 0.0)
+    split = 0 < p1 < k_steps and live_frac > 0.0
+    if not split:
+        u_march = jax.random.uniform(jax.random.fold_in(key, 0),
+                                     (k_steps, 4, n), dtype=dtype)
+        _, ys = jax.lax.scan(step, init, u_march)
+    else:
+        u1 = jax.random.uniform(jax.random.fold_in(key, 0),
+                                (p1, 4, n), dtype=dtype)
+        s1, ys1 = jax.lax.scan(step, init, u1)
+        m1 = min(n, max(1024, int(n * live_frac)))
+        sel, sel_valid = compact.compact_select(~s1.done, m1)
+        sub = S(*[jnp.take(x, sel, axis=0) for x in s1])
+        sub = sub._replace(done=sub.done | ~sel_valid)  # inert padding
+        u2 = jax.random.uniform(jax.random.fold_in(key, 1),
+                                (k_steps - p1, 4, m1), dtype=dtype)
+        _, ys2 = jax.lax.scan(step, sub, u2)
+        fills = (0.0, 0.0, 0.0, False, False, 0.0)
+        back = lambda v, f: jax.vmap(
+            lambda row: compact.scatter_back(n, sel, sel_valid, row, f))(v)
+        ys = tuple(jnp.concatenate([a, back(b, f)], axis=0)
+                   for a, b, f in zip(ys1, ys2, fills))
+    (ev_pos, ev_dir, ev_w, ev_valid, ev_term, ev_tau) = ys
     # step-major (K, N, ...) -- slot k IS event k (every live step is a
     # scatter event), so there is no per-slot scatter in the scan
 
@@ -246,16 +294,40 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     k_scene = jax.random.fold_in(key, k_steps + 1)
 
-    def shade_slot(args):
-        slot_idx, e_pos, e_dir = args
-        return trace_scene(scene, cfg, e_pos, e_dir,
-                           jax.random.fold_in(k_scene, slot_idx),
-                           env_samples)
+    if collect_events:
+        scattered = jnp.zeros((n, 3), dtype=dtype)
+    elif cfg.path.coll_shade_cap > 0.0:
+        # cumsum-compacted shading: pack the valid events (step-major, so
+        # overflow drops hit the DEEPEST = dimmest slots first) and run
+        # trace_scene once over the packed rows. At target-walk scale
+        # (64 slots x 8 samples x 10k rays) the dense per-slot shade is the
+        # train step's dominant cost.
+        nk = k_steps * n
+        cap = min(nk, max(1024, int(n * cfg.path.coll_shade_cap)))
+        w_flat = (ev_valid.astype(dtype) * ev_w).reshape(nk)
+        sel_e, val_e = compact.compact_select(w_flat > 0.0, cap)
+        pos_r = jnp.take(ev_pos.reshape(nk, 3), sel_e, axis=0)
+        dir_r = jnp.take(ev_dir.reshape(nk, 3), sel_e, axis=0)
+        light = trace_scene(scene, cfg, pos_r, dir_r, k_scene, env_samples)
+        contrib = jnp.where(val_e[:, None],
+                            jnp.take(w_flat, sel_e)[:, None] * light, 0.0)
+        ray = jnp.where(val_e, sel_e % n, n)
+        scattered = jnp.zeros((n + 1, 3), dtype=dtype).at[ray].add(
+            contrib, mode="drop")[:n]
+    else:
+        def shade_slot(args):
+            slot_idx, e_pos, e_dir = args
+            return trace_scene(scene, cfg, e_pos, e_dir,
+                               jax.random.fold_in(k_scene, slot_idx),
+                               env_samples)
 
-    light = jax.lax.map(shade_slot,
-                        (jnp.arange(k_steps, dtype=jnp.int32), ev_pos,
-                         ev_dir))  # (K, N, 3)
-    scattered = jnp.sum((ev_valid * ev_w)[..., None] * light, axis=0)
+        light = jax.lax.map(shade_slot,
+                            (jnp.arange(k_steps, dtype=jnp.int32), ev_pos,
+                             ev_dir))  # (K, N, 3)
+        # where-mask BEFORE weighting: invalid slots (zero-filled dirs from
+        # the split-march writeback) can shade to NaN, and 0 * NaN = NaN
+        light = jnp.where(ev_valid[..., None], light, 0.0)
+        scattered = jnp.sum((ev_valid * ev_w)[..., None] * light, axis=0)
 
     # the RR cut fires at most once per ray: reduce it from the step-major
     # record (sum of one-hot selections)
@@ -274,8 +346,14 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         q_w = q_w * phase_ops.hg_phase(jnp.sum(q_dir * -last_dir, axis=-1),
                                        vol.hg_g)
 
-    return PathResult(scattered, t0_trans, q_pos, q_dir,
-                      jnp.where(has_q, q_w, 0.0))
+    res = PathResult(scattered, t0_trans, q_pos, q_dir,
+                     jnp.where(has_q, q_w, 0.0))
+    if collect_events:
+        ev = jnp.concatenate(
+            [ev_pos, ev_dir,
+             (ev_valid.astype(dtype) * ev_w)[..., None]], axis=-1)
+        return res, jnp.swapaxes(ev, 0, 1)  # (N, K, 7) ray-major
+    return res
 
 
 def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
@@ -440,7 +518,7 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         # back. Live rays beyond the cap keep their phase-1 state (same
         # deterministic-cap caveat as event compaction; the cap sits ~2x
         # above the measured survivor fraction).
-        from neuralradiancecaching_tpu.ops import lightfield
+        from neuralradiancecaching_tpu.ops import compact, lightfield
         p1 = pt.march_phase1_steps
 
         # phase 0: rays with zero optical depth at ENTRY can never scatter
@@ -451,8 +529,9 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         if m0 < n:
             tau0 = lightfield.query_tau_field(scene.env_t_field, entry, rd,
                                               vol)
-            sel0 = jnp.argsort(~(tau0 > 1e-4))[:m0]
+            sel0, val0 = compact.compact_select(tau0 > 1e-4, m0)
             sub = S(*[jnp.take(x, sel0, axis=0) for x in init])
+            sub = sub._replace(done=sub.done | ~val0)
         else:
             sel0 = None
             sub = init
@@ -464,14 +543,17 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                                                sub.cur_pos, sub.cur_dir, vol)
         live = ~sub.done & (tau_ahead > 1e-4)
         m1 = min(m0, max(1024, int(n * pt.march_live_fraction)))
-        sel1 = jnp.argsort(~live)[:m1]
+        sel1, val1 = compact.compact_select(live, m1)
         sub2 = S(*[jnp.take(x, sel1, axis=0) for x in sub])
+        sub2 = sub2._replace(done=sub2.done | ~val1)
         u2 = jax.random.uniform(jax.random.fold_in(key, 1),
                                 (max_bounces - p1, 4, m1), dtype=dtype)
         sub2, _ = jax.lax.scan(step, sub2, u2)
-        sub = S(*[x.at[sel1].set(y) for x, y in zip(sub, sub2)])
+        sub = S(*[compact.scatter_update(x, sel1, val1, y)
+                  for x, y in zip(sub, sub2)])
         if sel0 is not None:
-            s = S(*[x.at[sel0].set(y) for x, y in zip(init, sub)])
+            s = S(*[compact.scatter_update(x, sel0, val0, y)
+                    for x, y in zip(init, sub)])
         else:
             s = sub
 
@@ -498,23 +580,25 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         # the highest-index rays -- hence the config-level validation that
         # compact_events sits well above the RR-implied mean
         # (config.PathTraceConfig.__post_init__).
+        from neuralradiancecaching_tpu.ops import compact
         nk = n * k_slots
         cap = min(nk, max(1024, int(n * cfg.path.compact_events)))
         packed = jnp.concatenate(
             [s.ev_pos, s.ev_prev, s.ev_dir, s.ev_dens[..., None]],
             axis=-1).reshape(nk, 10)
         flat_valid = valid.reshape(nk)
-        sel = jnp.argsort(~flat_valid)[:cap]
+        sel, sel_valid = compact.compact_select(flat_valid, cap)
         rows = jnp.take(packed, sel, axis=0)
-        sel_valid = jnp.take(flat_valid, sel)
         t_r_sel = _segment_t(rows[:, 0:3], rows[:, 3:6])
         light_sel = trace_scene(scene, cfg, rows[:, 0:3], rows[:, 6:9],
                                 k_scene, env_samples)
-        t_r = jnp.ones((nk,), dtype=dtype).at[sel].set(
-            jnp.where(sel_valid, t_r_sel, 1.0)).reshape(n, k_slots)
-        light = jnp.zeros((nk, 3), dtype=dtype).at[sel].set(
-            jnp.where(sel_valid[:, None], light_sel, 0.0)
-        ).reshape(n, k_slots, 3)
+        t_r = compact.scatter_back(
+            nk, sel, sel_valid, jnp.where(sel_valid, t_r_sel, 1.0),
+            1.0).reshape(n, k_slots)
+        light = compact.scatter_back(
+            nk, sel, sel_valid,
+            jnp.where(sel_valid[:, None], light_sel, 0.0),
+            0.0).reshape(n, k_slots, 3)
     else:
         # dense per-slot shading, sequential over K (lax.map) so transient
         # quadrature buffers stay O(N * steps), not O(N * K * steps)
@@ -550,37 +634,77 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     return PathResult(scattered, t_final, s.q_pos, s.q_dir, q_w)
 
 
+def shade_deferred(cfg: NRCConfig) -> bool:
+    """True when band shading is deferred to the frame-global finish pass:
+    collision sampler + deterministic 'field' light modes (the deferred
+    shade draws no randomness, so moving it out of the bands is exact)."""
+    return (cfg.path.sampler == "collision" and cfg.path.defer_shade
+            and cfg.env_map.in_scatter_mode == "field"
+            and cfg.path.transmittance_mode == "field")
+
+
 def render_band_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                          rd: jnp.ndarray, key: jax.Array):
-    """Band-local render work with the cache query DEFERRED to the caller.
+    """Band-local render work with the cache query -- and, in collision
+    mode, ALL event shading -- DEFERRED to the caller.
 
-    Query fractions are wildly non-uniform across row bands (measured 0.00
-    in sky bands vs 0.40 in cloud-center bands against a 0.14 frame mean),
-    so a per-band query cap either over-provisions sky bands or silently
-    drops queries exactly where the cloud is. Banded callers therefore run
-    the march+shade per band and compact the recorded queries GLOBALLY
-    across the frame: slots flow to the bands that need them and the cap
-    can sit just above the frame-mean fraction with zero drops.
+    Query (and scatter-event) fractions are wildly non-uniform across row
+    bands (measured 0.00 in sky bands vs 0.40 in cloud-center bands against
+    a 0.14 frame mean), so a per-band cap either over-provisions sky bands
+    or silently drops work exactly where the cloud is. Banded callers
+    therefore run the march per band and compact the recorded queries and
+    events GLOBALLY across the frame: slots flow to the bands that need
+    them and the caps sit just above the frame-mean fractions with zero
+    drops.
 
-    Returns (rgb_without_cache, trans, query_pos, query_dir, query_weight);
+    Returns (rgb_without_cache, trans, query_pos, query_dir, query_weight,
+    events (N, K, 7)); K = 0 when shading already happened in-band.
     spp must be 1 (banded production rendering accumulates externally).
     """
     assert cfg.render.spp == 1, "deferred-query path is spp=1"
-    res = trace_path(scene, cfg, ro, rd, key, use_nn=True)
+    if shade_deferred(cfg):
+        res, ev = trace_path_collision(scene, cfg, ro, rd, key, use_nn=True,
+                                       collect_events=True)
+    else:
+        res = trace_path(scene, cfg, ro, rd, key, use_nn=True)
+        ev = jnp.zeros((ro.shape[0], 0, 7), dtype=ro.dtype)
     q_w = (jnp.zeros_like(res.query_weight) if cfg.render.show_non_nn
            else res.query_weight)
     return (res.scattered, res.transmittance, res.query_pos, res.query_dir,
-            q_w)
+            q_w, ev)
 
 
 def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                     rd: jnp.ndarray, rgb: jnp.ndarray, trans: jnp.ndarray,
                     q_pos: jnp.ndarray, q_dir: jnp.ndarray,
-                    q_w: jnp.ndarray, query_fn: QueryFn) -> jnp.ndarray:
-    """Global finish for deferred bands: one frame-wide compacted cache
-    query + the env miss/see-through composite (frag:848-864).
-    Returns final rgb (N, 3)."""
+                    q_w: jnp.ndarray, query_fn: QueryFn,
+                    events: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Global finish for deferred bands: one frame-wide compacted event
+    shade (collision mode), one compacted cache query, and the env
+    miss/see-through composite (frag:848-864). Returns final rgb (N, 3)."""
+    from neuralradiancecaching_tpu.ops import compact
+
     n = rgb.shape[0]
+
+    if events is not None and events.shape[1] > 0:
+        # deferred event shading: pack the valid scatter events frame-wide
+        # (O(n) cumsum compaction) and run trace_scene ONCE over the packed
+        # rows -- the per-band dense K-slot shade did ~10x the gathers
+        k = events.shape[1]
+        flat = events.reshape(n * k, 7)
+        w_flat = flat[:, 6]
+        cap_e = min(n * k,
+                    max(1024, int(n * cfg.render.shade_cap_fraction)))
+        sel_e, val_e = compact.compact_select(w_flat > 0.0, cap_e)
+        rows = jnp.take(flat, sel_e, axis=0)
+        light = trace_scene(scene, cfg, rows[:, 0:3], rows[:, 3:6],
+                            jax.random.PRNGKey(0),  # field modes: unused
+                            cfg.env_map.n_samples)
+        contrib = jnp.where(val_e[:, None], rows[:, 6:7] * light, 0.0)
+        ray = jnp.where(val_e, sel_e // k, n)
+        rgb = rgb + jnp.zeros((n + 1, 3), rgb.dtype).at[ray].add(
+            contrib, mode="drop")[:n]
+
     frac = cfg.render.query_cap_fraction
     has_q = q_w > 0.0
     # the hash encode at full frame width exceeds the axon compile helper's
@@ -591,7 +715,7 @@ def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         capq = min(n, max(1024, int(n * frac)))
         if capq > chunk:  # round up to whole chunks (never exceeding n)
             capq = min(-(-capq // chunk) * chunk, n)
-        sel = jnp.argsort(~has_q)[:capq]
+        sel, sel_valid = compact.compact_select(has_q, capq)
         qsel_p = jnp.take(q_pos, sel, axis=0)
         qsel_d = jnp.take(q_dir, sel, axis=0)
         if capq > chunk and capq % chunk == 0:
@@ -601,8 +725,8 @@ def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                  qsel_d.reshape(-1, chunk, 3))).reshape(capq, 3)
         else:
             cache_sel = query_fn(qsel_p, qsel_d)
-        cache_sel = jnp.where(jnp.take(has_q, sel)[:, None], cache_sel, 0.0)
-        cache = jnp.zeros((n, 3), dtype=rgb.dtype).at[sel].set(cache_sel)
+        cache_sel = jnp.where(sel_valid[:, None], cache_sel, 0.0)
+        cache = compact.scatter_back(n, sel, sel_valid, cache_sel, 0.0)
     else:
         cache = jnp.where(has_q[:, None], query_fn(q_pos, q_dir), 0.0)
     rgb = rgb + q_w[:, None] * cache
@@ -640,15 +764,15 @@ def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                 # query compaction: the hash-encode + MLP (the dominant
                 # 128-gathers-per-ray cost) runs only on querying rays,
                 # packed to the front; see RenderConfig.query_cap_fraction
+                from neuralradiancecaching_tpu.ops import compact
                 capq = min(n, max(1024, int(n * frac)))
                 has_q = res.query_weight > 0.0
-                sel = jnp.argsort(~has_q)[:capq]
+                sel, sel_valid = compact.compact_select(has_q, capq)
                 cache_sel = query_fn(jnp.take(res.query_pos, sel, axis=0),
                                      jnp.take(res.query_dir, sel, axis=0))
-                cache_sel = jnp.where(jnp.take(has_q, sel)[:, None],
-                                      cache_sel, 0.0)
-                cache = jnp.zeros((n, 3), dtype=rgb.dtype).at[sel].set(
-                    cache_sel)
+                cache_sel = jnp.where(sel_valid[:, None], cache_sel, 0.0)
+                cache = compact.scatter_back(n, sel, sel_valid, cache_sel,
+                                             0.0)
             else:
                 cache = query_fn(res.query_pos, res.query_dir)
             rgb = rgb + res.query_weight[:, None] * cache

@@ -53,7 +53,7 @@ def _band_plain(scene: Scene, key: jax.Array, ro: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _finish(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
-            rgb, trans, q_pos, q_dir, q_w, cfg: NRCConfig):
+            rgb, trans, q_pos, q_dir, q_w, ev, cfg: NRCConfig):
     def query_fn(qpos, qdir):
         return nrc.query_baked(state, baked, qpos, qdir, cfg)
 
@@ -61,7 +61,7 @@ def _finish(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
     # rays eagerly would cost host dispatches per frame)
     ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
     return pathtrace.finish_deferred(scene, cfg, ro, rd, rgb, trans,
-                                     q_pos, q_dir, q_w, query_fn)
+                                     q_pos, q_dir, q_w, query_fn, events=ev)
 
 
 def render_tiled(state: nrc.NRCState, scene: Scene, key: jax.Array,
@@ -84,10 +84,10 @@ def render_tiled(state: nrc.NRCState, scene: Scene, key: jax.Array,
     parts = [_band_deferred(scene, jax.random.fold_in(key, y0 * band_rows),
                             rob[y0], rdb[y0], cfg)
              for y0 in range(h // band_rows)]
-    rgb, trans, qp, qd, qw = (jnp.concatenate([p[i] for p in parts], axis=0)
-                              for i in range(5))
+    rgb, trans, qp, qd, qw, ev = (
+        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(6))
     baked = nrc.bake(state, cfg)
-    out = _finish(state, baked, scene, rgb, trans, qp, qd, qw, cfg)
+    out = _finish(state, baked, scene, rgb, trans, qp, qd, qw, ev, cfg)
     return out.reshape(h, w, 3)
 
 
@@ -136,9 +136,10 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
         out = _bands_program(scene, key, cfg, band_rows)
         return out.reshape(h, w, 3)
 
-    rgb, trans, qp, qd, qw = _bands_program(scene, key, cfg, band_rows)
+    rgb, trans, qp, qd, qw, ev = _bands_program(scene, key, cfg, band_rows)
     baked = nrc.bake(state, cfg)
+    ev = ev.reshape((ev.shape[0] * ev.shape[1],) + ev.shape[2:])
     out = _finish(state, baked, scene, rgb.reshape(-1, 3),
                   trans.reshape(-1), qp.reshape(-1, 3), qd.reshape(-1, 3),
-                  qw.reshape(-1), cfg)
+                  qw.reshape(-1), ev, cfg)
     return out.reshape(h, w, 3)

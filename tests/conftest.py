@@ -13,9 +13,17 @@ import os
 
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective" not in xla_flags:
+    # 8 virtual devices share ONE physical core here; under load a CPU
+    # collective rendezvous can exceed the default stuck/terminate timeouts
+    # and XLA LOG(FATAL)s the whole pytest process ("Fatal Python error:
+    # Aborted" mid-suite, passes in isolation). Give the rendezvous ample
+    # time instead of dying.
+    xla_flags += (" --xla_cpu_collective_timeout_seconds=1800"
+                  " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = xla_flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

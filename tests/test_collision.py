@@ -197,3 +197,55 @@ def test_collision_train_batch_and_frame_step():
     assert out.image.shape == (8, 8, 3)
     assert np.isfinite(np.asarray(out.image)).all()
     assert np.isfinite(float(out.mse))
+
+
+def test_deferred_shade_matches_inband():
+    """Banded render with frame-global deferred event shading == the same
+    render with in-band dense shading (field light modes are deterministic,
+    so moving the shade out of the bands must be exact up to summation
+    order)."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render.tiled import render_banded
+
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -12.0)),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field"))
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(5)
+    assert pathtrace.shade_deferred(cfg)
+    a = np.asarray(render_banded(state, scene, k, cfg, band_rows=4))
+    cfg_inband = dataclasses.replace(
+        cfg, path=dataclasses.replace(cfg.path, defer_shade=False))
+    assert not pathtrace.shade_deferred(cfg_inband)
+    b = np.asarray(render_banded(state, scene, k, cfg_inband, band_rows=4))
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_march_split_shapes_and_weights_sane():
+    """The split march (coll_phase1_steps) must keep query weights valid
+    and events inside the box (RNG differs from the unsplit march, so the
+    check is structural, not bitwise)."""
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -12.0)),
+        path=dataclasses.replace(cfg.path, sampler="collision",
+                                 coll_phase1_steps=2,
+                                 coll_live_fraction=0.5))
+    scene = tiny_scene(cfg, density_value=2.0)
+    ro, rd = pixel_rays(scene.camera, 8, 8)
+    res, ev = pathtrace.trace_path_collision(
+        scene, cfg, ro, rd, jax.random.PRNGKey(1), use_nn=True,
+        collect_events=True)
+    assert ev.shape == (64, 6, 7)
+    w = np.asarray(ev[..., 6])
+    assert (w >= 0).all() and w.max() <= 1.0 + 1e-5 and w.max() > 0
+    pos = np.asarray(ev[..., 0:3])
+    inside = np.abs(pos) <= (np.asarray(cfg.volume.box_size) * 0.5 + 1e-3)
+    assert inside[w > 0].all()
+    qw = np.asarray(res.query_weight)
+    assert (qw >= 0).all() and qw.max() <= 1.0 + 1e-5
