@@ -92,9 +92,22 @@ def main():
     # NOTE: march_entry_fraction stays at its config default -- the measured
     # A/B found the entry-kill slower at 1080p (see PathTraceConfig); the
     # probe is reported for observability only.
+    # ... and the deferred-shade event budget from the measured mean
+    # scatter-event count per ray (same global-cap logic as the queries)
+    ev_mean = 0.0
+    shade_cap = cfg.render.shade_cap_fraction
+    if pathtrace.shade_deferred(cfg):
+        _, ev = pathtrace.trace_path_collision(
+            scene, cfg, ro[::stride], rd[::stride], jax.random.PRNGKey(98),
+            use_nn=True, collect_events=True)
+        ev_mean = float(np.asarray((ev[..., 6] > 0).sum(axis=1).mean()))
+        shade_cap = min(float(ev.shape[1]),
+                        float(np.ceil((ev_mean * 1.15 + 0.05) / 0.0625)
+                              * 0.0625))
     cfg = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render,
-                                        query_cap_fraction=cap))
+                                        query_cap_fraction=cap,
+                                        shade_cap_fraction=shade_cap))
 
     # whole frame as one program (lax.map over bands) when banding;
     # BENCH_HOST_TILED=1 falls back to the host-side band loop
@@ -149,6 +162,8 @@ def main():
         "mean_radiance": float(np.asarray(img.mean())),
         "query_fraction": round(qfrac, 4),
         "query_cap": cap,
+        "event_mean": round(ev_mean, 4),
+        "shade_cap": shade_cap,
         "entry_live_fraction": round(live_frac, 4),
     }
 

@@ -311,10 +311,12 @@ class PathTraceConfig:
     # collision-mode march split: after `coll_phase1_steps` full-width slots
     # (RR survival into slot 3 is <= 12.5% of scatter-capable rays), live
     # rays are packed to `coll_live_fraction * n_rays` lanes (O(n) cumsum
-    # compaction, ops/compact.py) for the remaining slots. The 2x headroom
-    # of 0.25 over the 0.125 worst case makes overflow drops impossible
-    # even for an all-cloud band. 0 disables the split.
-    coll_phase1_steps: int = 3
+    # compaction, ops/compact.py) for the remaining slots. MEASURED A/B
+    # @1080p (scripts/profile_phases_coll.py): the per-step writeback
+    # scatters cost ~225 ms against ~2.25 saved full-width steps of ~2.4 ms
+    # -- NET NEGATIVE at render scale, so the default is OFF (0); kept
+    # selectable for much deeper marches.
+    coll_phase1_steps: int = 0
     coll_live_fraction: float = 0.25
     # no-NN collision walk (train targets, reference renders): weight-based
     # Russian roulette on the continuation -- survival min(1, w/c) with the
@@ -324,17 +326,20 @@ class PathTraceConfig:
     # of dragging them through all target_bounces slots. 0 disables.
     coll_weight_rr: float = 0.05
     # no-NN split analogue of coll_phase1_steps/coll_live_fraction (only
-    # active when coll_weight_rr > 0, which is what retires lanes). The
-    # 0.5 cap can deterministically drop events for a pathological
-    # all-dense scene at >1024-ray scale; the bench's RMSE metric guards
-    # the reference scenes.
+    # active when coll_weight_rr > 0, which is what retires lanes).
+    # MEASURED A/B at reference train settings (scripts/profile_train2.py):
+    # the writeback scatters make the split NET NEGATIVE (197.6 vs 187.5 ms
+    # without) -- default OFF, selectable for much deeper walks.
     coll_nonn_phase1_steps: int = 8
-    coll_nonn_live_fraction: float = 0.5
-    # collision-mode event-shade budget (events per ray): pack valid events
-    # (O(n) cumsum) and shade once, instead of dense K-slot shading.
-    # Step-major packing means overflow drops hit the deepest (dimmest)
-    # slots first. 0 = dense shade every slot.
-    coll_shade_cap: float = 8.0
+    coll_nonn_live_fraction: float = 0.0
+    # collision-mode event-shade budget (events per ray): prefix-pack the
+    # valid events (ops/compact.py compact_prefix) and shade once, instead
+    # of dense K-slot shading. MEASURED at reference train settings: cap 4
+    # takes the train step 187.5 -> 139.4 ms with identical mse. Overflow
+    # (only possible when weight-RR is off or the scene is near-opaque
+    # everywhere) drops the HIGHEST ray indices wholesale -- set 0 (dense)
+    # for such scenes. 0 = dense shade every slot.
+    coll_shade_cap: float = 4.0
     # defer ALL event shading (dir/point/env light) out of the row bands
     # into one frame-global compacted pass (banded renderers, collision
     # sampler, deterministic 'field' light modes only). Per-band event

@@ -297,23 +297,29 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     if collect_events:
         scattered = jnp.zeros((n, 3), dtype=dtype)
     elif cfg.path.coll_shade_cap > 0.0:
-        # cumsum-compacted shading: pack the valid events (step-major, so
-        # overflow drops hit the DEEPEST = dimmest slots first) and run
-        # trace_scene once over the packed rows. At target-walk scale
-        # (64 slots x 8 samples x 10k rays) the dense per-slot shade is the
-        # train step's dominant cost.
+        # prefix-packed shading (collision validity is a per-ray prefix:
+        # a done lane never revives): pack the valid events ray-major and
+        # shade once; the reduction back is a sorted segment_sum. At
+        # target-walk scale (64 slots x 8 samples x 10k rays) the dense
+        # per-slot shade is the train step's dominant cost. Overflow drops
+        # the highest ray indices, deterministically.
         nk = k_steps * n
         cap = min(nk, max(1024, int(n * cfg.path.coll_shade_cap)))
-        w_flat = (ev_valid.astype(dtype) * ev_w).reshape(nk)
-        sel_e, val_e = compact.compact_select(w_flat > 0.0, cap)
-        pos_r = jnp.take(ev_pos.reshape(nk, 3), sel_e, axis=0)
-        dir_r = jnp.take(ev_dir.reshape(nk, 3), sel_e, axis=0)
-        light = trace_scene(scene, cfg, pos_r, dir_r, k_scene, env_samples)
-        contrib = jnp.where(val_e[:, None],
-                            jnp.take(w_flat, sel_e)[:, None] * light, 0.0)
-        ray = jnp.where(val_e, sel_e % n, n)
-        scattered = jnp.zeros((n + 1, 3), dtype=dtype).at[ray].add(
-            contrib, mode="drop")[:n]
+        w_rm = jnp.swapaxes(ev_valid.astype(dtype) * ev_w, 0, 1)  # (N, K)
+        packed = jnp.swapaxes(
+            jnp.concatenate([ev_pos, ev_dir], axis=-1), 0, 1
+        ).reshape(nk, 6)                                    # ray-major
+        counts = jnp.sum((w_rm > 0.0).astype(jnp.int32), axis=1)
+        row, slot, val_e = compact.compact_prefix(counts, cap)
+        idx = row * k_steps + jnp.minimum(slot, k_steps - 1)
+        rows = jnp.take(packed, idx, axis=0)
+        w_rows = jnp.take(w_rm.reshape(nk), idx)
+        light = trace_scene(scene, cfg, rows[:, 0:3], rows[:, 3:6],
+                            k_scene, env_samples)
+        contrib = jnp.where(val_e[:, None], w_rows[:, None] * light, 0.0)
+        seg = jnp.where(val_e, row, n)
+        scattered = jax.ops.segment_sum(contrib, seg, num_segments=n + 1,
+                                        indices_are_sorted=True)[:n]
     else:
         def shade_slot(args):
             slot_idx, e_pos, e_dir = args
@@ -687,23 +693,27 @@ def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     n = rgb.shape[0]
 
     if events is not None and events.shape[1] > 0:
-        # deferred event shading: pack the valid scatter events frame-wide
-        # (O(n) cumsum compaction) and run trace_scene ONCE over the packed
-        # rows -- the per-band dense K-slot shade did ~10x the gathers
+        # deferred event shading: collision-walk validity is PREFIX-shaped
+        # per ray (a done lane never revives), so the frame-wide pack is a
+        # counts/offsets prefix pack (compact_prefix) and the un-pack
+        # reduction a SORTED segment_sum -- ~10x cheaper than a general
+        # n*k-slot compaction + random scatter-add at 1080p scale
         k = events.shape[1]
         flat = events.reshape(n * k, 7)
-        w_flat = flat[:, 6]
+        w_nk = events[:, :, 6]                              # (n, k)
+        counts = jnp.sum((w_nk > 0.0).astype(jnp.int32), axis=1)
         cap_e = min(n * k,
                     max(1024, int(n * cfg.render.shade_cap_fraction)))
-        sel_e, val_e = compact.compact_select(w_flat > 0.0, cap_e)
-        rows = jnp.take(flat, sel_e, axis=0)
+        row, slot, val_e = compact.compact_prefix(counts, cap_e)
+        idx = row * k + jnp.minimum(slot, k - 1)
+        rows = jnp.take(flat, idx, axis=0)
         light = trace_scene(scene, cfg, rows[:, 0:3], rows[:, 3:6],
                             jax.random.PRNGKey(0),  # field modes: unused
                             cfg.env_map.n_samples)
         contrib = jnp.where(val_e[:, None], rows[:, 6:7] * light, 0.0)
-        ray = jnp.where(val_e, sel_e // k, n)
-        rgb = rgb + jnp.zeros((n + 1, 3), rgb.dtype).at[ray].add(
-            contrib, mode="drop")[:n]
+        seg = jnp.where(val_e, row, n)                      # sorted ids
+        rgb = rgb + jax.ops.segment_sum(contrib, seg, num_segments=n + 1,
+                                        indices_are_sorted=True)[:n]
 
     frac = cfg.render.query_cap_fraction
     has_q = q_w > 0.0

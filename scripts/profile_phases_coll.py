@@ -45,7 +45,8 @@ def main():
         base,
         camera=dataclasses.replace(base.camera, aspect=W / H),
         render=dataclasses.replace(base.render, width=W, height=H,
-                                   query_cap_fraction=0.25))
+                                   query_cap_fraction=0.25,
+                                   shade_cap_fraction=0.5))
     t0 = time.perf_counter()
     scene = make_scene(base, assets.load_cloud(), assets.load_env_map())
     sync(scene.coll_field)
@@ -66,6 +67,8 @@ def main():
             base,
             render=dataclasses.replace(base.render, show_non_nn=True),
             env_map=dataclasses.replace(base.env_map, n_samples=0)),
+        "nosplit": dataclasses.replace(
+            base, path=dataclasses.replace(base.path, coll_phase1_steps=0)),
     }
     for name, cfg in variants.items():
         timeit(name, lambda k, c=cfg: render_banded(state, scene, k, c,

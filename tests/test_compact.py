@@ -61,3 +61,48 @@ def test_select_jit_and_scalar_rows():
     packed = jnp.take(jnp.arange(16.0), sel)
     out = compact.scatter_back(16, sel, sel_valid, packed, 1.0)
     np.testing.assert_array_equal(np.asarray(out)[:4], [0, 1, 2, 1.0])
+
+
+def test_compact_prefix_matches_reference():
+    counts = jnp.array([2, 0, 3, 1, 0, 4])
+    row, slot, valid = compact.compact_prefix(counts, 16)
+    exp_row = [0, 0, 2, 2, 2, 3, 5, 5, 5, 5]
+    exp_slot = [0, 1, 0, 1, 2, 0, 0, 1, 2, 3]
+    np.testing.assert_array_equal(np.asarray(row[:10]), exp_row)
+    np.testing.assert_array_equal(np.asarray(slot[:10]), exp_slot)
+    assert int(valid.sum()) == 10
+    assert not bool(valid[10:].any())
+
+
+def test_compact_prefix_overflow_drops_tail_rows():
+    counts = jnp.array([3, 3, 3])
+    row, slot, valid = compact.compact_prefix(counts, 5)
+    assert bool(valid.all())
+    np.testing.assert_array_equal(np.asarray(row), [0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(np.asarray(slot), [0, 1, 2, 0, 1])
+
+
+def test_compact_prefix_empty():
+    row, slot, valid = compact.compact_prefix(jnp.zeros(8, jnp.int32), 4)
+    assert not bool(valid.any())
+
+
+def test_compact_prefix_jit_segment_sum_round_trip():
+    key = jax.random.PRNGKey(3)
+    n, k = 50, 6
+    counts = jax.random.randint(key, (n,), 0, k + 1)
+    vals = jax.random.normal(jax.random.PRNGKey(4), (n, k))
+    # zero out non-prefix slots
+    pref = jnp.arange(k)[None, :] < counts[:, None]
+    vals = jnp.where(pref, vals, 0.0)
+    cap = n * k
+    row, slot, valid = jax.jit(
+        lambda c: compact.compact_prefix(c, cap))(counts)
+    idx = row * k + jnp.minimum(slot, k - 1)
+    picked = jnp.take(vals.reshape(-1), idx)
+    picked = jnp.where(valid, picked, 0.0)
+    seg = jnp.where(valid, row, n)
+    out = jax.ops.segment_sum(picked, seg, num_segments=n + 1,
+                              indices_are_sorted=True)[:n]
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(vals.sum(axis=1)), rtol=1e-5)
