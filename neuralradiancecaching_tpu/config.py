@@ -122,6 +122,16 @@ class MRHEConfig:
     clip_border: float = 100.0
     reset_border: float = 1000.0
     n_dims: int = 3  # 3 for volume positions, 2 for image fit
+    # inference fast path: levels with res <= dense_max_res are baked into
+    # dense corner-packed grids after each optimizer step (1 row gather per
+    # level per query instead of 8 hash gathers; ops/mrhe.py). Memory is
+    # sum (r+2)^3 * 8F floats over dense levels: 64 -> ~50 MB, 128 ->
+    # ~290 MB (v5e has 16 GB HBM). MEASURED A/B: standalone
+    # (scripts/profile_query.py, 393k queries) 128 saves 24 ms of query for
+    # 8 ms more bake -- but in the FULL banded frame 128 is ~85 ms SLOWER
+    # (730 vs 646 ms, scripts/profile_bf16.py) -- the per-frame bake and
+    # bigger tables lose more than the query saves. Default stays 64.
+    dense_max_res: int = 64
 
     @property
     def n_outputs(self) -> int:
@@ -158,6 +168,11 @@ class VolumeConfig:
     box_center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     density_factor: float = 0.4
     hg_g: float = 0.7
+    # storage dtype of the baked light/collision fields (tau, env scatter,
+    # collision rows): 'float32' or 'bfloat16'. The march/shade gathers are
+    # HBM-latency-bound at 16-48B rows, so bf16 halves the gathered bytes;
+    # queries upcast after the gather. ~0.4% relative error on tau/radiance.
+    field_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -526,4 +541,8 @@ def progressive_1080p_config() -> "NRCConfig":
         # instead of the 32-step sequential density march (measured ~2.5x
         # whole-frame speedup at 1080p, docs/PERFORMANCE.md r2)
         path=PathTraceConfig(sampler="collision"),
+        # bf16 field rows halve the bytes of the HBM-latency-bound march/
+        # shade gathers: 649 -> 555 ms/frame measured, mean radiance
+        # unchanged to 4 decimals (scripts/profile_bf16.py)
+        volume=VolumeConfig(field_dtype="bfloat16"),
     )

@@ -176,7 +176,9 @@ def query_collision_rows(field: jnp.ndarray, pos: jnp.ndarray,
     ip0i = jnp.mod(ip0.astype(jnp.int32), N_PHI)
 
     row_idx = vox * (N_THETA * N_PHI) + it0c * N_PHI + ip0i
-    rows = jnp.take(field, row_idx, axis=0)  # (..., 8)
+    # fields may be stored bf16 (half the gather bytes; the march gather is
+    # HBM-latency-bound at 32B rows) -- upcast after the gather
+    rows = jnp.take(field, row_idx, axis=0).astype(pos.dtype)  # (..., 8)
     c00, c01, c10, c11 = (rows[..., 0], rows[..., 1], rows[..., 2],
                           rows[..., 3])
     top = c00 + (c01 - c00) * wp

@@ -132,7 +132,8 @@ def query_tau_field(field: jnp.ndarray, pos: jnp.ndarray,
     ip0i = jnp.mod(ip0.astype(jnp.int32), N_PHI)
 
     row_idx = (vox * (N_THETA * N_PHI) + it0c * N_PHI + ip0i)
-    rows = jnp.take(field, row_idx, axis=0)  # (..., 4)
+    # fields may be stored bf16 -- upcast after the gather
+    rows = jnp.take(field, row_idx, axis=0).astype(pos.dtype)  # (..., 4)
     c00, c01, c10, c11 = (rows[..., 0], rows[..., 1], rows[..., 2],
                           rows[..., 3])
     top = c00 + (c01 - c00) * wp
@@ -342,7 +343,8 @@ def query_radiance_field(field: jnp.ndarray, pos: jnp.ndarray,
     ip0i = jnp.mod(ip0.astype(jnp.int32), L_N_PHI)
 
     row_idx = vox * (L_N_THETA * L_N_PHI) + it0c * L_N_PHI + ip0i
-    rows = jnp.take(field, row_idx, axis=0)  # (..., 12)
+    # fields may be stored bf16 -- upcast after the gather
+    rows = jnp.take(field, row_idx, axis=0).astype(pos.dtype)  # (..., 12)
     c00, c01 = rows[..., 0:3], rows[..., 3:6]
     c10, c11 = rows[..., 6:9], rows[..., 9:12]
     top = c00 + (c01 - c00) * wp

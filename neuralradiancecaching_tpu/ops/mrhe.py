@@ -177,15 +177,15 @@ encode.defvjp(_encode_fwd, _encode_bwd)
 # table); the bake is a cheap per-frame projection (~0.6M hash lookups).
 # ---------------------------------------------------------------------------
 
-DENSE_MAX_RES = 64
+DENSE_MAX_RES = 64  # legacy default; MRHEConfig.dense_max_res overrides
 
 
 def dense_level_count(cfg: MRHEConfig) -> int:
-    """Number of leading levels with resolution <= DENSE_MAX_RES."""
+    """Number of leading levels with resolution <= cfg.dense_max_res."""
     if cfg.n_dims != 3:
         return 0
     res = resolutions(cfg)
-    return int(np.sum(res <= DENSE_MAX_RES))
+    return int(np.sum(res <= getattr(cfg, "dense_max_res", DENSE_MAX_RES)))
 
 
 def dense_level_offsets(cfg: MRHEConfig):

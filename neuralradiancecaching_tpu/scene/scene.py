@@ -126,6 +126,13 @@ def make_scene(cfg: NRCConfig, density: jnp.ndarray,
     else:
         from neuralradiancecaching_tpu.ops.collision import ROW_WIDTH
         coll_field = jnp.zeros((1, ROW_WIDTH), jnp.float32)
+    if cfg.volume.field_dtype == "bfloat16":
+        # halve the gathered bytes of the HBM-latency-bound field lookups;
+        # every query upcasts after its gather (ops/lightfield, ops/collision)
+        env_t_field = env_t_field.astype(jnp.bfloat16)
+        env_l_field = env_l_field.astype(jnp.bfloat16)
+        env_s_field = env_s_field.astype(jnp.bfloat16)
+        coll_field = coll_field.astype(jnp.bfloat16)
     return Scene(
         density=corner_table,
         density_grid=density,
