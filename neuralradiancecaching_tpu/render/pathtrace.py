@@ -358,6 +358,11 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         ev = jnp.concatenate(
             [ev_pos, ev_dir,
              (ev_valid.astype(dtype) * ev_w)[..., None]], axis=-1)
+        if cfg.volume.field_dtype == "bfloat16":
+            # halve the band-output traffic; positions land within ~0.3
+            # world units (< 1/6 of a tau-field voxel) and the finish
+            # upcasts before shading
+            ev = ev.astype(jnp.bfloat16)
         return res, jnp.swapaxes(ev, 0, 1)  # (N, K, 7) ray-major
     return res
 
@@ -706,7 +711,7 @@ def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                     max(1024, int(n * cfg.render.shade_cap_fraction)))
         row, slot, val_e = compact.compact_prefix(counts, cap_e)
         idx = row * k + jnp.minimum(slot, k - 1)
-        rows = jnp.take(flat, idx, axis=0)
+        rows = jnp.take(flat, idx, axis=0).astype(rgb.dtype)  # bf16 upcast
         light = trace_scene(scene, cfg, rows[:, 0:3], rows[:, 3:6],
                             jax.random.PRNGKey(0),  # field modes: unused
                             cfg.env_map.n_samples)
