@@ -87,8 +87,13 @@ def query(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
 
 def bake(state: NRCState, cfg: NRCConfig) -> jnp.ndarray:
     """Dense-bake the low-res MRHE levels for the fast query path
-    (ops/mrhe.py bake_dense); call after each optimizer step."""
-    return mrhe_ops.bake_dense(state.hash_table, cfg.mrhe)
+    (ops/mrhe.py bake_dense); call after each optimizer step. Stored bf16
+    when the scene fields are (halves the query-gather bytes; the encode
+    upcasts after its gather)."""
+    baked = mrhe_ops.bake_dense(state.hash_table, cfg.mrhe)
+    if cfg.volume.field_dtype == "bfloat16":
+        baked = baked.astype(jnp.bfloat16)
+    return baked
 
 
 def query_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,

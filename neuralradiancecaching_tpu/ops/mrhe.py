@@ -243,7 +243,7 @@ def encode_with_baked(table: jnp.ndarray, baked: jnp.ndarray,
 
     res_all = resolutions(cfg)
     offsets, _ = dense_level_offsets(cfg)
-    feats_dense = []
+    flat_levels, w_levels = [], []
     for l in range(n_dense):
         r = int(res_all[l])
         x = pos_norm * r  # (..., 3)
@@ -252,16 +252,22 @@ def encode_with_baked(table: jnp.ndarray, baked: jnp.ndarray,
         b = jnp.clip(x0.astype(jnp.int32), 0, r)  # base in [0, res]
         flat = (int(offsets[l]) + b[..., 0] * ((r + 1) * (r + 1))
                 + b[..., 1] * (r + 1) + b[..., 2])
-        rows = jnp.take(baked, flat, axis=0)  # (..., 8*F)
-        rows = rows.reshape(*rows.shape[:-1], 8, cfg.n_features)
         fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
         gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
         w = jnp.stack([gx * gy * gz, gx * gy * fz, gx * fy * gz,
                        gx * fy * fz, fx * gy * gz, fx * gy * fz,
                        fx * fy * gz, fx * fy * fz], axis=-1)
-        feats_dense.append(jnp.sum(rows * w[..., None], axis=-2))
+        flat_levels.append(flat)
+        w_levels.append(w)
 
-    dense = jnp.concatenate(feats_dense, axis=-1)  # (..., n_dense*F)
+    # ONE gather for all dense levels (indices already carry the level
+    # offsets); rows may be stored bf16 -- upcast after the gather
+    flat_all = jnp.stack(flat_levels, axis=-1)          # (..., n_dense)
+    rows = jnp.take(baked, flat_all, axis=0).astype(pos_norm.dtype)
+    rows = rows.reshape(*rows.shape[:-1], 8, cfg.n_features)
+    w_all = jnp.stack(w_levels, axis=-2)                # (..., n_dense, 8)
+    feats = jnp.sum(rows * w_all[..., None], axis=-2)   # (..., n_dense, F)
+    dense = feats.reshape(*pos_norm.shape[:-1], n_dense * cfg.n_features)
     if n_dense == cfg.n_levels:
         return dense
 
@@ -300,7 +306,8 @@ def _encode_tail(tables_tail: jnp.ndarray, pos_norm: jnp.ndarray,
                   * cfg_tail.table_size)[:, None]
     flat_idx = idx + level_base
     flat_table = tables_tail.reshape(-1, cfg_tail.n_features)
-    gathered = jnp.take(flat_table, flat_idx, axis=0)
+    gathered = jnp.take(flat_table, flat_idx,
+                        axis=0).astype(pos_norm.dtype)
     feats = jnp.sum(weights[..., None] * gathered, axis=-2)
     return feats.reshape(*pos_norm.shape[:-1],
                          n_tail * cfg_tail.n_features)

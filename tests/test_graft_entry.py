@@ -31,7 +31,7 @@ def test_dryrun_multichip_8():
     r = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, capture_output=True, text=True, timeout=600,
+        cwd=REPO, capture_output=True, text=True, timeout=1500,
         env={k: v for k, v in os.environ.items()
              if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
     assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
