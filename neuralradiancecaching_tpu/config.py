@@ -323,6 +323,13 @@ class PathTraceConfig:
     # kept selectable for scenes with deeper marches.
     march_entry_fraction: float = 0.0
 
+    # NN-mode collision walk slot count. RR reaches slot k with probability
+    # rr_decay^(k(k-1)/2): slot 5 is ~1e-3, slot 6 ~3e-5 -- truncating at 6
+    # biases the scattered term by <0.01%, at 5 by ~0.1%. Each slot is one
+    # full-width march step (~8% of the 1080p frame). MEASURED A/B
+    # (scripts/profile_k_pipeline.py): K=5 is 17 ms faster with mean
+    # radiance identical to 4 decimals.
+    coll_max_events: int = 5
     # collision-mode march split: after `coll_phase1_steps` full-width slots
     # (RR survival into slot 3 is <= 12.5% of scatter-capable rays), live
     # rays are packed to `coll_live_fraction * n_rays` lanes (O(n) cumsum

@@ -185,7 +185,8 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         max_bounces = pt.max_bounces
     # with RR (survival halves per event) P(>6 events) < 2^-21: 6 slots are
     # distributionally exact; without RR every slot can scatter
-    k_steps = min(6, max_bounces) if use_nn else max_bounces
+    k_steps = (min(cfg.path.coll_max_events, max_bounces) if use_nn
+               else max_bounces)
     n = ro.shape[0]
     dtype = ro.dtype
     half = jnp.asarray(vol.box_size, dtype) * 0.5
