@@ -316,18 +316,18 @@ def generate_train_batch_for_rays(scene: Scene, cfg: NRCConfig,
     return TrainBatch(pos=pos, dir=d, target=target)
 
 
-def _collision_train_batch(scene: Scene, cfg: NRCConfig, k_v: jax.Array,
-                           k_t: jax.Array, ro: jnp.ndarray, rd: jnp.ndarray
-                           ) -> TrainBatch:
-    """Collision-mode train batch: the target is S(x, d_in) = NEE(x, d_in) +
-    mean over `target_samples` HG-sampled continuation walks, each an
+def cache_targets_collision(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
+                            d: jnp.ndarray, key: jax.Array,
+                            samples: int | None = None) -> jnp.ndarray:
+    """MC estimate of the cache's target quantity S(x, d_in) = NEE(x, d_in)
+    + mean over `samples` HG-sampled continuation walks, each an
     analytic-weight collision walk (pathtrace.trace_path_collision with the
     env composite excluded -- continuation escapes are covered by NEE, see
-    the estimator note in trace_path_collision)."""
-    k_nee, k_dirs = jax.random.split(k_v)
-    pos, d = choose_train_vertices_collision(scene, cfg, ro, rd, k_v)
+    the estimator note in trace_path_collision). Also the bench's converged
+    cache-quality probe (bench.py quality_metrics)."""
+    k_nee, k_dirs, k_t = jax.random.split(key, 3)
     n = pos.shape[0]
-    s_count = cfg.train.target_samples
+    s_count = samples if samples is not None else cfg.train.target_samples
 
     nee = pathtrace.trace_scene(scene, cfg, pos, d, k_nee,
                                 cfg.train.env_samples)
@@ -340,5 +340,14 @@ def _collision_train_batch(scene: Scene, cfg: NRCConfig, k_v: jax.Array,
         env_samples=cfg.train.env_samples,
         max_bounces=cfg.train.target_bounces)
     cont = jnp.mean(res.scattered.reshape(s_count, n, 3), axis=0)
-    target = jnp.minimum(nee + cont, cfg.train.target_clamp)
+    return nee + cont
+
+
+def _collision_train_batch(scene: Scene, cfg: NRCConfig, k_v: jax.Array,
+                           k_t: jax.Array, ro: jnp.ndarray, rd: jnp.ndarray
+                           ) -> TrainBatch:
+    """Collision-mode train batch (see cache_targets_collision)."""
+    pos, d = choose_train_vertices_collision(scene, cfg, ro, rd, k_v)
+    target = cache_targets_collision(scene, cfg, pos, d, k_t)
+    target = jnp.minimum(target, cfg.train.target_clamp)
     return TrainBatch(pos=pos, dir=d, target=target)
