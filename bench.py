@@ -104,10 +104,17 @@ def main():
         shade_cap = min(float(ev.shape[1]),
                         float(np.ceil((ev_mean * 1.15 + 0.05) / 0.0625)
                               * 0.0625))
+    # frame-global live-ray packing: cap from the probed entry-live
+    # fraction (measured A/B: pack 0.3125 vs off = 516 vs 549 ms @1080p)
+    pack = 0.0
+    if pathtrace.shade_deferred(cfg):
+        pack = min(1.0, float(np.ceil((live_frac * 1.3 + 0.02) / 0.0625)
+                              * 0.0625))
     cfg = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render,
                                         query_cap_fraction=cap,
-                                        shade_cap_fraction=shade_cap))
+                                        shade_cap_fraction=shade_cap,
+                                        live_pack_fraction=pack))
 
     # whole frame as one program (lax.map over bands) when banding;
     # BENCH_HOST_TILED=1 falls back to the host-side band loop
@@ -164,6 +171,7 @@ def main():
         "query_cap": cap,
         "event_mean": round(ev_mean, 4),
         "shade_cap": shade_cap,
+        "live_pack": pack,
         "entry_live_fraction": round(live_frac, 4),
     }
 
@@ -278,22 +286,36 @@ def cache_quality(qcfg, scene, st, n_points=8192, samples=32, bins=16):
     from neuralradiancecaching_tpu.render import pathtrace, targets
     from neuralradiancecaching_tpu.scene.camera import pixel_rays
 
+    # separate jits with scene/state passed as ARGUMENTS (a closed-over
+    # scene embeds the 250 MB collision field as an HLO constant and blows
+    # the remote compile helper's request-size limit); one fused program
+    # is too large regardless
     @jax.jit
-    def probe(st):
-        ro, rd = pixel_rays(scene.camera, qcfg.render.width,
+    def probe_points(sc, key):
+        ro, rd = pixel_rays(sc.camera, qcfg.render.width,
                             qcfg.render.height)
-        res = pathtrace.trace_path(scene, qcfg, ro, rd,
-                                   jax.random.PRNGKey(11), use_nn=True)
+        res = pathtrace.trace_path(sc, qcfg, ro, rd, key, use_nn=True)
         sel, val = compact.compact_select(res.query_weight > 0.0, n_points)
-        pos = jnp.take(res.query_pos, sel, axis=0)
-        d = jnp.take(res.query_dir, sel, axis=0)
+        return (jnp.take(res.query_pos, sel, axis=0),
+                jnp.take(res.query_dir, sel, axis=0), val)
 
-        target = targets.cache_targets_collision(scene, qcfg, pos, d,
-                                                 jax.random.PRNGKey(12),
-                                                 samples=samples)
+    one_chunk = jax.jit(
+        lambda sc, p, dd, k: targets.cache_targets_collision(
+            sc, qcfg, p, dd, k, samples=samples))
+
+    def mc_targets(sc, pos, d, key):
+        chunk = 2048
+        pc = pos.reshape(-1, chunk, 3)
+        dc = d.reshape(-1, chunk, 3)
+        ks = jax.random.split(key, pc.shape[0])
+        return jnp.concatenate(
+            [one_chunk(sc, pc[i], dc[i], ks[i])
+             for i in range(pc.shape[0])])
+
+    @jax.jit
+    def pred_and_bin(st, pos, d, val, target):
         baked = nrc.bake(st, qcfg)
         pred = nrc.query_baked(st, baked, pos, d, qcfg)
-
         # bin by position octant (3 bits) + direction z sign (1 bit)
         ctr = jnp.asarray(qcfg.volume.box_center)
         bits = ((pos > ctr).astype(jnp.int32)
@@ -305,9 +327,11 @@ def cache_quality(qcfg, scene, st, n_points=8192, samples=32, bins=16):
                                     bin_id, num_segments=bins + 1)[:bins]
         cnt = jax.ops.segment_sum(val.astype(jnp.float32), bin_id,
                                   num_segments=bins + 1)[:bins]
-        return t_bin, p_bin, cnt, val
+        return t_bin, p_bin, cnt
 
-    t_bin, p_bin, cnt, val = probe(st)
+    pos, d, val = probe_points(scene, jax.random.PRNGKey(11))
+    target = mc_targets(scene, pos, d, jax.random.PRNGKey(12))
+    t_bin, p_bin, cnt = pred_and_bin(st, pos, d, val, target)
     keep = np.asarray(cnt) >= 64  # bins with enough samples to converge
     t_m = np.asarray(t_bin)[keep] / np.asarray(cnt)[keep][:, None]
     p_m = np.asarray(p_bin)[keep] / np.asarray(cnt)[keep][:, None]
@@ -324,6 +348,8 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line
+        import traceback
+        traceback.print_exc(file=sys.stderr)
         print(json.dumps({
             "metric": "nrc_render_throughput", "value": 0.0,
             "unit": "Mrays/s", "vs_baseline": 0.0,

@@ -434,6 +434,18 @@ class RenderConfig:
     # that know the query fraction (bench auto-tunes from a warmup frame)
     # can lower it; queries beyond the cap lose their cache term.
     query_cap_fraction: float = 1.0
+    # frame-global live-ray packing for the banded collision render: one
+    # tau-field gather over the full frame finds rays with ANY optical
+    # depth at entry (~23% at reference cameras); the march runs only on
+    # the packed live rays (O(n) cumsum pack, single writeback at the
+    # end). Non-live rays are exact analytically: T0=1, pure env. The cap
+    # is a fraction of the frame; live rays beyond it render as env
+    # see-through (deterministic, highest pixel indices first) -- keep
+    # >= 2x the probed entry_live_fraction. 0 disables. (The r1 per-band
+    # entry-kill measured NEGATIVE because of argsorts and per-step
+    # writebacks; this frame-global form shares one pack across the whole
+    # frame and writes back once.)
+    live_pack_fraction: float = 0.0
     # deferred-shade event budget: shade at most `shade_cap_fraction * n`
     # scatter events frame-wide (PathTraceConfig.defer_shade). The RR walk
     # yields <= ~1.66 events per scatter-capable ray, so 2.0 is drop-free

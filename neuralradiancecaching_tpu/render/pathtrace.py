@@ -686,17 +686,22 @@ def render_band_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             q_w, ev)
 
 
-def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
-                    rd: jnp.ndarray, rgb: jnp.ndarray, trans: jnp.ndarray,
+def shade_and_query(scene: Scene, cfg: NRCConfig, rgb: jnp.ndarray,
                     q_pos: jnp.ndarray, q_dir: jnp.ndarray,
                     q_w: jnp.ndarray, query_fn: QueryFn,
-                    events: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Global finish for deferred bands: one frame-wide compacted event
-    shade (collision mode), one compacted cache query, and the env
-    miss/see-through composite (frag:848-864). Returns final rgb (N, 3)."""
+                    events: Optional[jnp.ndarray] = None,
+                    cap_n: Optional[int] = None) -> jnp.ndarray:
+    """Frame-global compacted event shade (collision mode) + compacted
+    cache query, WITHOUT the env composite (shared by finish_deferred and
+    the packed-live-ray pipeline). Returns rgb (N, 3).
+
+    cap_n: base count for the shade/query cap fractions (the FULL frame
+    size in the packed pipeline, where n is only the packed width) --
+    keeps the probed cap fractions frame-relative."""
     from neuralradiancecaching_tpu.ops import compact
 
     n = rgb.shape[0]
+    base = cap_n if cap_n is not None else n
 
     if events is not None and events.shape[1] > 0:
         # deferred event shading: collision-walk validity is PREFIX-shaped
@@ -709,7 +714,7 @@ def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         w_nk = events[:, :, 6]                              # (n, k)
         counts = jnp.sum((w_nk > 0.0).astype(jnp.int32), axis=1)
         cap_e = min(n * k,
-                    max(1024, int(n * cfg.render.shade_cap_fraction)))
+                    max(1024, int(base * cfg.render.shade_cap_fraction)))
         row, slot, val_e = compact.compact_prefix(counts, cap_e)
         idx = row * k + jnp.minimum(slot, k - 1)
         rows = jnp.take(flat, idx, axis=0).astype(rgb.dtype)  # bf16 upcast
@@ -728,7 +733,7 @@ def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     # compacted queries are evaluated in fixed-size lax.map chunks
     chunk = 32768
     if frac < 1.0:
-        capq = min(n, max(1024, int(n * frac)))
+        capq = min(n, max(1024, int(base * frac)))
         if capq > chunk:  # round up to whole chunks (never exceeding n)
             capq = min(-(-capq // chunk) * chunk, n)
         sel, sel_valid = compact.compact_select(has_q, capq)
@@ -745,7 +750,18 @@ def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         cache = compact.scatter_back(n, sel, sel_valid, cache_sel, 0.0)
     else:
         cache = jnp.where(has_q[:, None], query_fn(q_pos, q_dir), 0.0)
-    rgb = rgb + q_w[:, None] * cache
+    return rgb + q_w[:, None] * cache
+
+
+def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
+                    rd: jnp.ndarray, rgb: jnp.ndarray, trans: jnp.ndarray,
+                    q_pos: jnp.ndarray, q_dir: jnp.ndarray,
+                    q_w: jnp.ndarray, query_fn: QueryFn,
+                    events: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Global finish for deferred bands: shade_and_query + the env
+    miss/see-through composite (frag:848-864). Returns final rgb (N, 3)."""
+    rgb = shade_and_query(scene, cfg, rgb, q_pos, q_dir, q_w, query_fn,
+                          events)
 
     env_color = envmap_ops.sample_direct(scene.env, rd, hpm=False)
     if cfg.path.sampler == "collision":
@@ -779,13 +795,25 @@ def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             if frac < 1.0:
                 # query compaction: the hash-encode + MLP (the dominant
                 # 128-gathers-per-ray cost) runs only on querying rays,
-                # packed to the front; see RenderConfig.query_cap_fraction
+                # packed to the front; see RenderConfig.query_cap_fraction.
+                # Chunked like finish_deferred: a >~64k-row hash encode in
+                # one program exceeds the remote compile helper's limit.
                 from neuralradiancecaching_tpu.ops import compact
+                chunk = 32768
                 capq = min(n, max(1024, int(n * frac)))
+                if capq > chunk:
+                    capq = min(-(-capq // chunk) * chunk, n)
                 has_q = res.query_weight > 0.0
                 sel, sel_valid = compact.compact_select(has_q, capq)
-                cache_sel = query_fn(jnp.take(res.query_pos, sel, axis=0),
-                                     jnp.take(res.query_dir, sel, axis=0))
+                qsel_p = jnp.take(res.query_pos, sel, axis=0)
+                qsel_d = jnp.take(res.query_dir, sel, axis=0)
+                if capq > chunk and capq % chunk == 0:
+                    cache_sel = jax.lax.map(
+                        lambda ab: query_fn(ab[0], ab[1]),
+                        (qsel_p.reshape(-1, chunk, 3),
+                         qsel_d.reshape(-1, chunk, 3))).reshape(capq, 3)
+                else:
+                    cache_sel = query_fn(qsel_p, qsel_d)
                 cache_sel = jnp.where(sel_valid[:, None], cache_sel, 0.0)
                 cache = compact.scatter_back(n, sel, sel_valid, cache_sel,
                                              0.0)

@@ -120,6 +120,72 @@ def _bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
     return jax.lax.map(band, (y0s, ro_b, rd_b))
 
 
+@partial(jax.jit, static_argnames=("cfg", "band_rows"))
+def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
+                          band_rows: int):
+    """Frame-global live-ray packing (RenderConfig.live_pack_fraction):
+    one tau-field gather over the whole frame retires rays with zero
+    optical depth at entry (analytically exact: T0 = 1, pure env), the
+    march runs banded over only the packed live rays."""
+    from neuralradiancecaching_tpu.ops import compact, lightfield
+    from neuralradiancecaching_tpu.ops import volume as volume_ops
+
+    h, w = cfg.render.height, cfg.render.width
+    n = h * w
+    vol = cfg.volume
+    ro, rd = pixel_rays(scene.camera, w, h)
+    entry, _, hit = volume_ops.entry_exit_points(ro, rd, vol.box_size,
+                                                 vol.box_center)
+    tau0 = lightfield.query_tau_field(scene.env_t_field, entry, rd, vol)
+    live = hit & (tau0 > 1e-4)
+
+    band_n = band_rows * w
+    n_bands_p = max(1, -(-int(n * cfg.render.live_pack_fraction) // band_n))
+    capm = min(n_bands_p * band_n, n)
+    sel, val = compact.compact_select(live, capm)
+    ro_p = jnp.take(ro, sel, axis=0)
+    rd_p = jnp.take(rd, sel, axis=0)
+
+    def band(args):
+        i, ro_i, rd_i = args
+        return pathtrace.render_band_deferred(scene, cfg, ro_i, rd_i,
+                                              jax.random.fold_in(key, i))
+
+    ids = jnp.arange(capm // band_n, dtype=jnp.int32)
+    rgb, trans, qp, qd, qw, ev = jax.lax.map(
+        band, (ids, ro_p.reshape(-1, band_n, 3),
+               rd_p.reshape(-1, band_n, 3)))
+    rgb = rgb.reshape(-1, 3)
+    trans = trans.reshape(-1)
+    qp, qd = qp.reshape(-1, 3), qd.reshape(-1, 3)
+    # padding lanes marched duplicate rays -- mask their outputs
+    qw = jnp.where(val, qw.reshape(-1), 0.0)
+    ev = ev.reshape((capm,) + ev.shape[2:])
+    if ev.shape[1] > 0:
+        ev = jnp.where(val[:, None, None], ev, jnp.zeros((), ev.dtype))
+    return sel, val, rgb, trans, qp, qd, qw, ev
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _finish_packed(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
+                   sel, val, rgb_p, trans_p, qp, qd, qw, ev,
+                   cfg: NRCConfig):
+    from neuralradiancecaching_tpu.ops import compact
+    from neuralradiancecaching_tpu.ops import envmap as envmap_ops
+
+    def query_fn(qpos, qdir):
+        return nrc.query_baked(state, baked, qpos, qdir, cfg)
+
+    n = cfg.render.width * cfg.render.height
+    rgb_p = pathtrace.shade_and_query(scene, cfg, rgb_p, qp, qd, qw,
+                                      query_fn, events=ev, cap_n=n)
+    rgb = compact.scatter_back(n, sel, val, rgb_p, 0.0)
+    trans = compact.scatter_back(n, sel, val, trans_p, 1.0)
+    ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+    env_color = envmap_ops.sample_direct(scene.env, rd, hpm=False)
+    return rgb + trans[:, None] * env_color
+
+
 def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
                   cfg: NRCConfig, band_rows: int = 54) -> jnp.ndarray:
     """Whole frame as TWO jitted programs: ``lax.map`` over row bands for
@@ -134,6 +200,15 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     assert h % band_rows == 0, (h, band_rows)
     if not cfg.render.use_nn:
         out = _bands_program(scene, key, cfg, band_rows)
+        return out.reshape(h, w, 3)
+
+    if (cfg.render.live_pack_fraction > 0.0 and pathtrace.shade_deferred(cfg)
+            and not cfg.render.show_non_nn):
+        sel, val, rgb_p, trans_p, qp, qd, qw, ev = _packed_bands_program(
+            scene, key, cfg, band_rows)
+        baked = nrc.bake(state, cfg)
+        out = _finish_packed(state, baked, scene, sel, val, rgb_p, trans_p,
+                             qp, qd, qw, ev, cfg)
         return out.reshape(h, w, 3)
 
     rgb, trans, qp, qd, qw, ev = _bands_program(scene, key, cfg, band_rows)

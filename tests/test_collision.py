@@ -249,3 +249,50 @@ def test_march_split_shapes_and_weights_sane():
     assert inside[w > 0].all()
     qw = np.asarray(res.query_weight)
     assert (qw >= 0).all() and qw.max() <= 1.0 + 1e-5
+
+
+def test_live_pack_matches_unpacked():
+    """Packed-live-ray banded render == the unpacked banded render when the
+    pack cap covers every live ray (non-live rays are analytically exact:
+    T0=1, pure env; the band RNG keying differs, so use a camera/scene
+    where every live band outcome is identical... instead compare against
+    the packed path with cap 1.0, which marches ALL rays in packed order
+    == original order when everything is live)."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render.tiled import render_banded
+
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -12.0)),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field"))
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(5)
+
+    # dense box, centered camera: every ray through the box is live; with
+    # cap 1.0 the packed order == pixel order for live rays, and the band
+    # split (4 rows) matches the unpacked program's bands 1:1 only when
+    # ALL rays are live -- so compare full-frame (band_rows = height).
+    cfg_packed = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, live_pack_fraction=1.0))
+    a = np.asarray(render_banded(state, scene, k, cfg, band_rows=8))
+    b = np.asarray(render_banded(state, scene, k, cfg_packed, band_rows=8))
+    assert np.isfinite(b).all()
+    # live rays must agree where the pack preserved pixel order (all-live
+    # frame => identity packing => identical RNG streams)
+    from neuralradiancecaching_tpu.ops import volume as vol_ops
+    from neuralradiancecaching_tpu.ops import lightfield
+    ro, rd = pixel_rays(scene.camera, 8, 8)
+    entry, _, hit = vol_ops.entry_exit_points(ro, rd, cfg.volume.box_size,
+                                              cfg.volume.box_center)
+    tau0 = lightfield.query_tau_field(scene.env_t_field, entry, rd,
+                                      cfg.volume)
+    live = np.asarray(hit & (tau0 > 1e-4)).reshape(8, 8)
+    if live.all():
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    else:
+        # identity packing only holds for the live prefix; at minimum the
+        # packed render must be finite and match on non-live rays (pure
+        # env there in both)
+        np.testing.assert_allclose(a[~live], b[~live], atol=1e-5)
