@@ -295,7 +295,13 @@ def cache_quality(qcfg, scene, st, n_points=8192, samples=32, bins=16):
         ro, rd = pixel_rays(sc.camera, qcfg.render.width,
                             qcfg.render.height)
         res = pathtrace.trace_path(sc, qcfg, ro, rd, key, use_nn=True)
-        sel, val = compact.compact_select(res.query_weight > 0.0, n_points)
+        # uniform spatial sample: stable compaction would take the FIRST
+        # n_points queries in pixel order (top of frame only)
+        perm = jax.random.permutation(jax.random.fold_in(key, 1),
+                                      ro.shape[0])
+        mask_p = jnp.take(res.query_weight > 0.0, perm)
+        sel_p, val = compact.compact_select(mask_p, n_points)
+        sel = jnp.take(perm, sel_p)
         return (jnp.take(res.query_pos, sel, axis=0),
                 jnp.take(res.query_dir, sel, axis=0), val)
 

@@ -398,6 +398,14 @@ class TrainConfig:
     # out), which with the default zero-strength dir/point lights makes all
     # targets black. 0 reproduces that; >0 makes the cache learn env light.
     env_samples: int = 8
+    # collision-mode vertex selection: trace `vertex_oversample` x n_rays
+    # jittered camera rays and COMPACT the real RR-cut vertices into the
+    # batch (O(n) pack). Only ~15% of camera rays produce a cut, so
+    # without oversampling ~85% of the gradient lands on fallback
+    # entry-point vertices the render never queries (measured: the cache
+    # erred 3-6x worse at query points than at its own train points).
+    # 1 disables (reference-faithful fallback behavior).
+    vertex_oversample: int = 8
     # trip count of the RR vertex-selection walk (TracePathAndLearn,
     # nrc-train.comp:1190-1209). The reference iterates target_bounces (64)
     # times, but survival past step k has probability rr_decay^(k(k-1)/2)

@@ -117,75 +117,39 @@ def choose_train_vertices_collision(scene: Scene, cfg: NRCConfig,
                                     key: jax.Array
                                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Collision-sampler vertex selection (PathTraceConfig.sampler=
-    'collision').
+    'collision'): run the EXACT walk the renderer runs (the NN-mode
+    analytic collision march, pathtrace.trace_path_collision) and harvest
+    its Russian-roulette cut point -- the same (position, incoming
+    direction) rule the cache will be queried with.
 
-    Walks STOCHASTIC collisions (branch with probability 1-exp(-tau), exact
-    inverse-CDF distance -- one row gather per step, ops/collision.py) under
-    the reference's RR depth schedule, and returns the last collision point
-    with its INCOMING direction: in collision mode the cache represents
-    S(x, d_in) = NEE(x, d_in) + E_HG[continuation], matching the render's
-    query convention (pathtrace.trace_path_collision).
+    This matters: an earlier last-collision heuristic walk produced
+    vertices covering only 4 of 12 occupied (octant x direction) bins of
+    the real query distribution -- the cache fit its train points to ~9%
+    yet erred 33-120% in the uncovered bins (scripts/profile_cache_diag).
+    Matching the train distribution to the query distribution by
+    construction removes the shift.
+
+    Rays whose walk records no cut (miss / no scatter / early escape)
+    fall back to (entry, -normalize(entry)) like the reference's train
+    main (nrc-train.comp:1252-1255).
     """
-    from neuralradiancecaching_tpu.ops import collision
-
     vol = cfg.volume
-    pt = cfg.path
     n = ro.shape[0]
-    dtype = ro.dtype
 
     _, _, hit = volume_ops.ray_aabb(ro, rd, vol.box_size, vol.box_center)
     rd = jnp.where(hit[:, None], rd,
                    -ro / jnp.linalg.norm(ro, axis=-1, keepdims=True))
     entry, _, _ = volume_ops.entry_exit_points(ro, rd, vol.box_size,
                                                vol.box_center)
-    half = jnp.asarray(vol.box_size, dtype) * 0.5
-    ctr = jnp.asarray(vol.box_center, dtype)
 
-    class S(NamedTuple):
-        pos: jnp.ndarray        # segment start
-        dir: jnp.ndarray        # segment direction
-        vpos: jnp.ndarray       # chosen vertex (last collision)
-        vdir: jnp.ndarray       # its incoming direction
-        term_prob: jnp.ndarray
-        done: jnp.ndarray
-        did: jnp.ndarray
-
-    init = S(pos=entry, dir=rd, vpos=entry, vdir=rd,
-             term_prob=jnp.ones((n,), dtype=dtype),
-             done=jnp.zeros((n,), dtype=bool),
-             did=jnp.zeros((n,), dtype=bool))
-
-    def step(s: S, u_step):
-        u_rr, u_c, u_t, u_hg1, u_hg2 = (u_step[0], u_step[1], u_step[2],
-                                        u_step[3], u_step[4])
-        # stop BEFORE the bounce (reference train :1192-1196)
-        stop = (u_rr > s.term_prob) & ~s.done
-        done = s.done | stop
-        term_prob = jnp.where(done, s.term_prob, s.term_prob * pt.rr_decay)
-
-        t, p_sc = collision.sample_collision(scene.coll_field, s.pos, s.dir,
-                                             u_t, vol)
-        collide = (u_c < p_sc) & ~done
-        x = jnp.clip(s.pos + t[:, None] * s.dir, ctr - half, ctr + half)
-        done = done | (~collide & ~s.done & ~stop)  # escaped
-
-        vpos = jnp.where(collide[:, None], x, s.vpos)
-        vdir = jnp.where(collide[:, None], s.dir, s.vdir)
-        did = s.did | collide
-        new_dir = phase_ops.hg_direction_from_uniforms(u_hg1, u_hg2, s.dir,
-                                                       vol.hg_g)
-        d2 = jnp.where(collide[:, None], new_dir, s.dir)
-        pos2 = jnp.where(collide[:, None], x, s.pos)
-        return S(pos2, d2, vpos, vdir, term_prob, done, did), None
-
-    walk_steps = min(cfg.train.vertex_walk_steps or 8, 8)
-    u_walk = jax.random.uniform(key, (walk_steps, 5, n), dtype=dtype)
-    final, _ = jax.lax.scan(step, init, u_walk)
+    res = pathtrace.trace_path_collision(scene, cfg, ro, rd, key,
+                                         use_nn=True, env_samples=0)
+    has = res.query_weight > 0.0
 
     fallback_dir = -entry / jnp.maximum(
         jnp.linalg.norm(entry, axis=-1, keepdims=True), 1e-8)
-    pos = jnp.where(final.did[:, None], final.vpos, entry)
-    d = jnp.where(final.did[:, None], final.vdir, fallback_dir)
+    pos = jnp.where(has[:, None], res.query_pos, entry)
+    d = jnp.where(has[:, None], res.query_dir, fallback_dir)
     return pos, d
 
 
@@ -283,11 +247,13 @@ def trace_target_paths(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
 
 def generate_train_batch(scene: Scene, cfg: NRCConfig,
                          key: jax.Array) -> TrainBatch:
-    """Full train-batch generation for one frame: train-grid rays -> RR
-    vertices -> averaged path-traced targets (clamped to target_clamp,
-    nrc-train.comp:987)."""
+    """Full train-batch generation for one frame: jittered train-grid rays
+    -> RR vertices -> averaged path-traced targets (clamped to
+    target_clamp, nrc-train.comp:987). Pixel jitter makes the vertex
+    coverage continuous across steps (see camera.pixel_rays)."""
+    k_j, key = jax.random.split(key)
     ro, rd = pixel_rays(scene.camera, cfg.train.train_width,
-                        cfg.train.train_height)
+                        cfg.train.train_height, jitter_key=k_j)
     return generate_train_batch_for_rays(scene, cfg, key, ro, rd)
 
 
@@ -346,8 +312,44 @@ def cache_targets_collision(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
 def _collision_train_batch(scene: Scene, cfg: NRCConfig, k_v: jax.Array,
                            k_t: jax.Array, ro: jnp.ndarray, rd: jnp.ndarray
                            ) -> TrainBatch:
-    """Collision-mode train batch (see cache_targets_collision)."""
-    pos, d = choose_train_vertices_collision(scene, cfg, ro, rd, k_v)
+    """Collision-mode train batch (see cache_targets_collision).
+
+    With vertex_oversample > 1 the batch is filled with REAL RR-cut
+    vertices compacted from an oversampled jittered ray set, so every
+    gradient sample lies on the distribution the render actually queries
+    (TrainConfig.vertex_oversample)."""
+    n = ro.shape[0]
+    over = max(1, cfg.train.vertex_oversample)
+    if over > 1:
+        from neuralradiancecaching_tpu.ops import compact
+        from neuralradiancecaching_tpu.scene.camera import pixel_rays
+
+        k_j, k_w = jax.random.split(k_v)
+        ros, rds = [ro], [rd]
+        for i in range(over - 1):
+            r_o, r_d = pixel_rays(scene.camera, cfg.train.train_width,
+                                  cfg.train.train_height,
+                                  jitter_key=jax.random.fold_in(k_j, i))
+            ros.append(r_o)
+            rds.append(r_d)
+        ro_all = jnp.concatenate(ros)
+        rd_all = jnp.concatenate(rds)
+        res = pathtrace.trace_path_collision(scene, cfg, ro_all, rd_all,
+                                             k_w, use_nn=True,
+                                             env_samples=0)
+        has = res.query_weight > 0.0
+        sel, val = compact.compact_select(has, n)
+        pos = jnp.take(res.query_pos, sel, axis=0)
+        d = jnp.take(res.query_dir, sel, axis=0)
+        # not enough cuts: fall back to (entry, inward) on padding lanes
+        entry, _, hit = volume_ops.entry_exit_points(
+            ro, rd, cfg.volume.box_size, cfg.volume.box_center)
+        fb_dir = -entry / jnp.maximum(
+            jnp.linalg.norm(entry, axis=-1, keepdims=True), 1e-8)
+        pos = jnp.where(val[:, None], pos, entry)
+        d = jnp.where(val[:, None], d, fb_dir)
+    else:
+        pos, d = choose_train_vertices_collision(scene, cfg, ro, rd, k_v)
     target = cache_targets_collision(scene, cfg, pos, d, k_t)
     target = jnp.minimum(target, cfg.train.target_clamp)
     return TrainBatch(pos=pos, dir=d, target=target)

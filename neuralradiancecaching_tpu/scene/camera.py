@@ -82,18 +82,29 @@ def make_camera(cfg: CameraConfig,
 
 
 def pixel_rays(camera: Camera, width: int, height: int,
-               dtype=jnp.float32):
+               dtype=jnp.float32, jitter_key=None):
     """Primary rays for every pixel, matching the shaders' reconstruction.
 
     nrc-train.comp:1228-1246: fragUV = pixel * (1/W, 1/H);
     screen = (2 uv - 1, 0, 1); world = invProjView @ screen; world /= w;
     rd = normalize(world - camera.pos).
 
+    jitter_key: when given, offsets each pixel uniformly within its
+    footprint (stratified sampling). The TRAIN grid uses this: a fixed
+    100x100 grid re-samples the SAME 10k beams every step, so hash-grid
+    cells between beams never receive gradients -- jitter makes the
+    vertex coverage continuous across steps.
+
     Returns (ro (H*W, 3) broadcastable origin, rd (H*W, 3)).
     """
     xs = (jnp.arange(width, dtype=dtype)) / width
     ys = (jnp.arange(height, dtype=dtype)) / height
     u, v = jnp.meshgrid(xs, ys, indexing="xy")  # (H, W)
+    if jitter_key is not None:
+        ju, jv = jax.random.uniform(jitter_key, (2, height, width),
+                                    dtype=dtype)
+        u = u + ju / width
+        v = v + jv / height
     ndc = jnp.stack([u * 2.0 - 1.0, v * 2.0 - 1.0,
                      jnp.zeros_like(u), jnp.ones_like(u)], axis=-1)
     # HIGHEST precision: TPU matmuls default to bf16 inputs, which is far
