@@ -398,6 +398,11 @@ class TrainConfig:
     # out), which with the default zero-strength dir/point lights makes all
     # targets black. 0 reproduces that; >0 makes the cache learn env light.
     env_samples: int = 8
+    # training loss: 'mse' (the reference's plain squared error,
+    # nrc-train.comp:1010) or 'relative_l2' ((pred-target)^2 /
+    # (sg(pred)^2 + eps), the standard HDR radiance-cache loss -- plain
+    # MSE underfits dim regions by their radiance ratio).
+    loss: str = "mse"
     # collision-mode vertex selection: trace `vertex_oversample` x n_rays
     # jittered camera rays and COMPACT the real RR-cut vertices into the
     # batch (O(n) pack). Only ~15% of camera rays produce a cut, so

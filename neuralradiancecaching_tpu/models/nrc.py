@@ -123,7 +123,8 @@ def compute_grads(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
         x = encode(hash_table, pos, direction, cfg)
         valid = jnp.all(jnp.isfinite(x), axis=-1)
         x = jnp.where(valid[:, None], x, 0.0)
-        return mlp_ops.nrc_loss(mlp_params, x, target, cfg.mlp, valid=valid)
+        return mlp_ops.nrc_loss(mlp_params, x, target, cfg.mlp, valid=valid,
+                                kind=cfg.train.loss)
 
     (_, mse), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
                                          has_aux=True)(

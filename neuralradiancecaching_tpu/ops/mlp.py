@@ -70,13 +70,20 @@ def apply(params: Params, x: jnp.ndarray, cfg: MLPConfig) -> jnp.ndarray:
 
 
 def nrc_loss(params: Params, x: jnp.ndarray, target: jnp.ndarray,
-             cfg: MLPConfig, valid: jnp.ndarray | None = None):
-    """The reference's training loss + stat.
+             cfg: MLPConfig, valid: jnp.ndarray | None = None,
+             kind: str = "mse"):
+    """The training loss + stat.
 
-    Per-sample loss whose gradient matches nr6 = 2*(pred - target) per channel
-    (nrc-train.comp:1010-1012) with 1/B batch normalization
-    (ONE_OVER_PIXEL_COUNT, :207-210): L = mean_B sum_C (pred-target)^2.
-    The logged MSE stat is mean_B mean_C err^2 (:1007-1008).
+    kind='mse' (reference): per-sample loss whose gradient matches
+    nr6 = 2*(pred - target) per channel (nrc-train.comp:1010-1012) with
+    1/B batch normalization (ONE_OVER_PIXEL_COUNT, :207-210):
+    L = mean_B sum_C (pred-target)^2. The logged MSE stat is
+    mean_B mean_C err^2 (:1007-1008).
+
+    kind='relative_l2': (pred-target)^2 / (stop_grad(pred)^2 + eps) -- the
+    standard HDR radiance-regression loss (used by published neural
+    radiance caches): plain MSE lets bright regions dominate the gradient
+    and underfits dim regions by their radiance ratio.
 
     ``valid`` masks out samples whose encoding went NaN (the reference's
     early-out, nrc-train.comp:993-999).
@@ -85,6 +92,10 @@ def nrc_loss(params: Params, x: jnp.ndarray, target: jnp.ndarray,
     err = pred - target
     if valid is not None:
         err = jnp.where(valid[..., None], err, 0.0)
-    loss = jnp.mean(jnp.sum(err * err, axis=-1))
+    if kind == "relative_l2":
+        denom = jax.lax.stop_gradient(pred) ** 2 + 1e-2
+        loss = jnp.mean(jnp.sum(err * err / denom, axis=-1))
+    else:
+        loss = jnp.mean(jnp.sum(err * err, axis=-1))
     mse_stat = jnp.mean(err * err)
     return loss, mse_stat
