@@ -215,7 +215,9 @@ def quality_metrics(cfg, scene, state):
     from neuralradiancecaching_tpu.utils.metrics import relative_rmse
 
     qside = int(os.environ.get("BENCH_QUALITY_SIZE", 512))
-    train_steps = int(os.environ.get("BENCH_QUALITY_TRAIN", 150))
+    # 400: the cache-quality metric plateaus by ~400 steps (measured
+    # trajectory in docs/PERFORMANCE.md); 150 measured pre-convergence
+    train_steps = int(os.environ.get("BENCH_QUALITY_TRAIN", 400))
     spp_nn = int(os.environ.get("BENCH_QUALITY_SPP", 8))
     spp_ref = int(os.environ.get("BENCH_QUALITY_REF_SPP", 32))
 

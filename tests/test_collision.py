@@ -241,7 +241,7 @@ def test_march_split_shapes_and_weights_sane():
     res, ev = pathtrace.trace_path_collision(
         scene, cfg, ro, rd, jax.random.PRNGKey(1), use_nn=True,
         collect_events=True)
-    assert ev.shape == (64, 6, 7)
+    assert ev.shape == (64, cfg.path.coll_max_events, 7)
     w = np.asarray(ev[..., 6])
     assert (w >= 0).all() and w.max() <= 1.0 + 1e-5 and w.max() > 0
     pos = np.asarray(ev[..., 0:3])
