@@ -195,19 +195,31 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     entry, _, hit = volume_ops.entry_exit_points(ro, rd, vol.box_size,
                                                  vol.box_center)
 
-    # scan carry is deliberately minimal (pos, dir, weight, term_prob, done
-    # -- measured: per-step cost is state-width-bound once the gather is
-    # single-row); events AND the RR-cut query are recorded as step-major
-    # scan outputs, the cut reduced afterwards (it fires at most once).
+    # scan outputs are deliberately minimal: ONLY the per-event
+    # (position, incoming dir, masked weight) -- measured
+    # (scripts/profile_march_ops.py): the stacked scan outputs, not the
+    # gather or the math, dominate the step once rows are bf16. The
+    # RR-cut query and tau0 fire at most once per ray and live in the
+    # CARRY instead of K stacked slots.
     class S(NamedTuple):
         pos: jnp.ndarray        # (N, 3) current vertex
         dir: jnp.ndarray        # (N, 3) current direction
         weight: jnp.ndarray     # (N,) prod of past scatter probabilities
         term_prob: jnp.ndarray  # (N,) RR survival threshold
         done: jnp.ndarray       # (N,) bool
+        tau0: jnp.ndarray       # (N,) first-step tau (sentinel -1 unset)
+        has_q: jnp.ndarray      # (N,) bool: RR cut recorded
+        q_pos: jnp.ndarray      # (N, 3)
+        q_dir: jnp.ndarray      # (N, 3) incoming dir at the cut
+        last_in: jnp.ndarray    # (N, 3) previous event's incoming dir
+        q_w: jnp.ndarray        # (N,) weight at the cut (incl. quirk phase)
 
     init = S(pos=entry, dir=rd, weight=jnp.ones((n,), dtype=dtype),
-             term_prob=jnp.ones((n,), dtype=dtype), done=~hit)
+             term_prob=jnp.ones((n,), dtype=dtype), done=~hit,
+             tau0=jnp.full((n,), -1.0, dtype=dtype),
+             has_q=jnp.zeros((n,), dtype=bool),
+             q_pos=entry, q_dir=rd, last_in=rd,
+             q_w=jnp.zeros((n,), dtype=dtype))
 
     def step(s: S, u_step):
         u_rr, u_t, u_hg1, u_hg2 = (u_step[0], u_step[1], u_step[2],
@@ -251,8 +263,29 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         pos2 = jnp.where(scatter[:, None], x, s.pos)
         done = s.done | terminate | ~alive | die
 
-        ys = (x, s.dir, ev_w, scatter, terminate, tau)
-        return S(pos2, dir2, weight, term_prob, done), ys
+        tau0 = jnp.where(s.tau0 < 0.0, tau, s.tau0)
+        if use_nn:
+            has_q = s.has_q | terminate
+            q_pos = jnp.where(terminate[:, None], x, s.q_pos)
+            q_dir = jnp.where(terminate[:, None], s.dir, s.q_dir)
+            if cfg.quirks.query_dir_phase:
+                # reference frag:785-786: the cut weight carries the HG
+                # phase between the incoming dir and the PREVIOUS event's
+                # incoming dir (entry dir for a cut at slot 0)
+                ph = phase_ops.hg_phase(
+                    jnp.sum(s.dir * -s.last_in, axis=-1), vol.hg_g)
+                qw_new = ev_w * ph
+            else:
+                qw_new = ev_w
+            q_w = jnp.where(terminate, qw_new, s.q_w)
+            last_in = jnp.where(scatter[:, None], s.dir, s.last_in)
+        else:
+            has_q, q_pos, q_dir, q_w = s.has_q, s.q_pos, s.q_dir, s.q_w
+            last_in = s.last_in
+
+        ys = (x, s.dir, jnp.where(scatter, ev_w, 0.0))
+        return S(pos2, dir2, weight, term_prob, done, tau0, has_q, q_pos,
+                 q_dir, last_in, q_w), ys
 
     # march split: full-width slots 0..p1-1, then pack the live lanes
     # (<= 12.5% after 3 RR-gated scatters in NN mode; weight-RR'd in no-NN
@@ -269,7 +302,7 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     if not split:
         u_march = jax.random.uniform(jax.random.fold_in(key, 0),
                                      (k_steps, 4, n), dtype=dtype)
-        _, ys = jax.lax.scan(step, init, u_march)
+        s_fin, ys = jax.lax.scan(step, init, u_march)
     else:
         u1 = jax.random.uniform(jax.random.fold_in(key, 0),
                                 (p1, 4, n), dtype=dtype)
@@ -280,18 +313,18 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         sub = sub._replace(done=sub.done | ~sel_valid)  # inert padding
         u2 = jax.random.uniform(jax.random.fold_in(key, 1),
                                 (k_steps - p1, 4, m1), dtype=dtype)
-        _, ys2 = jax.lax.scan(step, sub, u2)
-        fills = (0.0, 0.0, 0.0, False, False, 0.0)
+        s2, ys2 = jax.lax.scan(step, sub, u2)
+        s_fin = S(*[compact.scatter_update(a, sel, sel_valid, b)
+                    for a, b in zip(s1, s2)])
         back = lambda v, f: jax.vmap(
             lambda row: compact.scatter_back(n, sel, sel_valid, row, f))(v)
-        ys = tuple(jnp.concatenate([a, back(b, f)], axis=0)
-                   for a, b, f in zip(ys1, ys2, fills))
-    (ev_pos, ev_dir, ev_w, ev_valid, ev_term, ev_tau) = ys
-    # step-major (K, N, ...) -- slot k IS event k (every live step is a
-    # scatter event), so there is no per-slot scatter in the scan
+        ys = tuple(jnp.concatenate([a, back(b, 0.0)], axis=0)
+                   for a, b in zip(ys1, ys2))
+    (ev_pos, ev_dir, ev_w) = ys  # step-major (K, N, ...); ev_w is 0 for
+    # invalid slots -- slot k IS event k (every live step scatters)
 
     # primary see-through: T0 = exp(-tau of the camera segment)
-    t0_trans = jnp.where(hit, jnp.exp(-ev_tau[0]), jnp.ones((n,), dtype))
+    t0_trans = jnp.where(hit, jnp.exp(-s_fin.tau0), jnp.ones((n,), dtype))
 
     k_scene = jax.random.fold_in(key, k_steps + 1)
 
@@ -306,7 +339,7 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         # the highest ray indices, deterministically.
         nk = k_steps * n
         cap = min(nk, max(1024, int(n * cfg.path.coll_shade_cap)))
-        w_rm = jnp.swapaxes(ev_valid.astype(dtype) * ev_w, 0, 1)  # (N, K)
+        w_rm = jnp.swapaxes(ev_w, 0, 1)  # (N, K); 0 marks invalid slots
         packed = jnp.swapaxes(
             jnp.concatenate([ev_pos, ev_dir], axis=-1), 0, 1
         ).reshape(nk, 6)                                    # ray-major
@@ -333,32 +366,16 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                              ev_dir))  # (K, N, 3)
         # where-mask BEFORE weighting: invalid slots (zero-filled dirs from
         # the split-march writeback) can shade to NaN, and 0 * NaN = NaN
-        light = jnp.where(ev_valid[..., None], light, 0.0)
-        scattered = jnp.sum((ev_valid * ev_w)[..., None] * light, axis=0)
+        valid = ev_w > 0.0
+        light = jnp.where(valid[..., None], light, 0.0)
+        scattered = jnp.sum(ev_w[..., None] * light, axis=0)
 
-    # the RR cut fires at most once per ray: reduce it from the step-major
-    # record (sum of one-hot selections)
-    term_f = ev_term.astype(dtype)  # (K, N)
-    q_w = jnp.sum(term_f * ev_w, axis=0)
-    q_pos = jnp.sum(term_f[..., None] * ev_pos, axis=0)
-    q_dir = jnp.sum(term_f[..., None] * ev_dir, axis=0)
-    has_q = jnp.any(ev_term, axis=0)
-    q_pos = jnp.where(has_q[:, None], q_pos, entry)
-    q_dir = jnp.where(has_q[:, None], q_dir, rd)
-    if use_nn and cfg.quirks.query_dir_phase:
-        # previous direction at the cut = the direction of the event one
-        # step earlier (entry dir for a cut at step 0)
-        prev = jnp.concatenate([rd[None], ev_dir[:-1]], axis=0)
-        last_dir = jnp.sum(term_f[..., None] * prev, axis=0)
-        q_w = q_w * phase_ops.hg_phase(jnp.sum(q_dir * -last_dir, axis=-1),
-                                       vol.hg_g)
-
-    res = PathResult(scattered, t0_trans, q_pos, q_dir,
-                     jnp.where(has_q, q_w, 0.0))
+    # the RR-cut query (and quirk phase) was recorded in the scan carry
+    res = PathResult(scattered, t0_trans, s_fin.q_pos, s_fin.q_dir,
+                     jnp.where(s_fin.has_q, s_fin.q_w, 0.0))
     if collect_events:
         ev = jnp.concatenate(
-            [ev_pos, ev_dir,
-             (ev_valid.astype(dtype) * ev_w)[..., None]], axis=-1)
+            [ev_pos, ev_dir, ev_w[..., None]], axis=-1)
         if cfg.volume.field_dtype == "bfloat16":
             # halve the band-output traffic; positions land within ~0.3
             # world units (< 1/6 of a tau-field voxel) and the finish
