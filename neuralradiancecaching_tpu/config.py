@@ -132,6 +132,23 @@ class MRHEConfig:
     # (730 vs 646 ms, scripts/profile_bf16.py) -- the per-frame bake and
     # bigger tables lose more than the query saves. Default stays 64.
     dense_max_res: int = 64
+    # which baked inference representation nrc.bake builds (ops/mrhe.py):
+    #   'oct'   -- corner-packed hash rows, ONE row gather per level for
+    #              every level (bit-exact; needs power-of-two table_size;
+    #              measured 4.4x faster than 'dense' at 393k queries and the
+    #              bake is ~4 ms vs 39 ms -- scripts/profile_oct.py)
+    #   'dense' -- r2 dense grids for levels with res <= dense_max_res plus
+    #              8-gather hash tail (kept for A/B)
+    #   'none'  -- no bake; query_baked == query (pure hash path)
+    inference_bake: str = "oct"
+
+    def __post_init__(self):
+        if self.inference_bake not in ("oct", "dense", "none"):
+            raise ValueError(f"inference_bake={self.inference_bake!r}")
+        if (self.inference_bake == "oct"
+                and self.table_size & (self.table_size - 1) != 0):
+            raise ValueError("inference_bake='oct' needs a power-of-two "
+                             f"table_size, got {self.table_size}")
 
     @property
     def n_outputs(self) -> int:

@@ -86,11 +86,18 @@ def query(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
 
 
 def bake(state: NRCState, cfg: NRCConfig) -> jnp.ndarray:
-    """Dense-bake the low-res MRHE levels for the fast query path
-    (ops/mrhe.py bake_dense); call after each optimizer step. Stored bf16
-    when the scene fields are (halves the query-gather bytes; the encode
-    upcasts after its gather)."""
-    baked = mrhe_ops.bake_dense(state.hash_table, cfg.mrhe)
+    """Bake the MRHE inference representation (ops/mrhe.py); call after each
+    optimizer step. Default 'oct': corner-packed hash rows, ONE row gather
+    per level per query, bit-exact vs the hash path. 'dense' keeps the r2
+    dense-grid bake. Stored bf16 when the scene fields are (halves the
+    query-gather bytes; the encode upcasts after its gather)."""
+    mode = cfg.mrhe.inference_bake
+    if mode == "oct":
+        baked = mrhe_ops.bake_oct(state.hash_table, cfg.mrhe)
+    elif mode == "dense":
+        baked = mrhe_ops.bake_dense(state.hash_table, cfg.mrhe)
+    else:
+        return jnp.zeros((0,), dtype=state.hash_table.dtype)
     if cfg.volume.field_dtype == "bfloat16":
         baked = baked.astype(jnp.bfloat16)
     return baked
@@ -98,12 +105,22 @@ def bake(state: NRCState, cfg: NRCConfig) -> jnp.ndarray:
 
 def query_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,
                 direction: jnp.ndarray, cfg: NRCConfig) -> jnp.ndarray:
-    """Cache inference via the dense-baked low-res levels: ~1.6x fewer
-    gathers than :func:`query`; numerically identical for in-box positions."""
+    """Cache inference via the baked MRHE rows: 16 gathered rows per query
+    ('oct') vs 128 for the pure hash path; numerically identical (exactly
+    for 'oct'; for in-box positions with 'dense')."""
     pos_norm = mrhe_ops.normalize_pos(pos, cfg.volume.box_size,
                                       cfg.volume.box_center)
-    mrhe_feats = mrhe_ops.encode_with_baked(state.hash_table, baked,
-                                            pos_norm, cfg.mrhe, cfg.quirks)
+    mode = cfg.mrhe.inference_bake
+    if mode == "oct":
+        mrhe_feats = mrhe_ops.encode_with_oct(baked, pos_norm, cfg.mrhe,
+                                              cfg.quirks, pos_raw=pos)
+    elif mode == "dense":
+        mrhe_feats = mrhe_ops.encode_with_baked(state.hash_table, baked,
+                                                pos_norm, cfg.mrhe,
+                                                cfg.quirks)
+    else:
+        mrhe_feats = mrhe_ops.encode(state.hash_table, pos_norm, cfg.mrhe,
+                                     cfg.quirks, pos_raw=pos)
     blob_feats = oneblob_ops.encode_dir(direction, cfg.oneblob, cfg.quirks)
     x = jnp.concatenate([mrhe_feats, blob_feats], axis=-1)
     return _inference_mlp(state.mlp_params, x, cfg)

@@ -313,6 +313,84 @@ def _encode_tail(tables_tail: jnp.ndarray, pos_norm: jnp.ndarray,
                          n_tail * cfg_tail.n_features)
 
 
+# ---------------------------------------------------------------------------
+# Oct-packed hash rows (inference fast path, r3)
+#
+# The spatial hash h(c) = sum_d c_d * prime_d (mod T) is LINEAR in the
+# corner offsets: every cell corner's hash sits at a CONSTANT offset from
+# the base corner's hash, h(base + off) = (h(base) + off . primes) mod T.
+# With T a power of two, T divides 2^32, so the identity survives uint32
+# wraparound exactly. Baking the table as (L*T, 2^D * F) rows -- row (l, h)
+# holding the 2^D corner feature vectors [table[l, (h+const_c) mod T]] --
+# turns the 8-gathers-per-level encode into ONE row gather per level for
+# EVERY level (not just dense-bakeable low-res ones). The bake is 2^D
+# jnp.rolls (~4 ms vs 39 ms for the r2 dense bake), and the result is
+# bit-exact vs :func:`encode` for ALL positions including out-of-box
+# (measured, scripts/profile_oct.py: 153.8 -> 34.8 ms per 393k queries).
+#
+# Replaces the fully-fused per-thread gather loop of the reference
+# (nrc-forward.frag:254-330) with a layout trick instead of a kernel: the
+# gather-op row count, not the FLOPs, was the measured query cost.
+# ---------------------------------------------------------------------------
+
+
+def corner_hash_offsets(cfg: MRHEConfig) -> np.ndarray:
+    """(2^D,) hash offset of each cell corner from the base corner, mod T,
+    in x-major corner order (matching :func:`_corner_offsets`)."""
+    offs = _corner_offsets(cfg.n_dims).astype(np.uint64)  # (C, D)
+    primes = np.asarray(HASH_PRIMES[:cfg.n_dims], dtype=np.uint64)
+    return ((offs * primes).sum(-1)
+            % np.uint64(cfg.table_size)).astype(np.int32)
+
+
+def oct_supported(cfg: MRHEConfig) -> bool:
+    """The constant-offset identity needs T | 2^32, i.e. power-of-two T."""
+    t = cfg.table_size
+    return t > 0 and (t & (t - 1)) == 0
+
+
+@partial(jax.jit, static_argnums=(1,))
+def bake_oct(table: jnp.ndarray, cfg: MRHEConfig) -> jnp.ndarray:
+    """(L*T, 2^D * F) corner-packed hash rows (see module comment above)."""
+    assert oct_supported(cfg), "oct bake requires a power-of-two table_size"
+    parts = [jnp.roll(table, -int(o), axis=1)
+             for o in corner_hash_offsets(cfg)]
+    packed = jnp.concatenate(parts, axis=-1)  # (L, T, C*F)
+    return packed.reshape(cfg.n_levels * cfg.table_size, -1)
+
+
+def encode_with_oct(oct_rows: jnp.ndarray, pos_norm: jnp.ndarray,
+                    cfg: MRHEConfig, quirks: QuirkFlags,
+                    pos_raw: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Inference encode from oct-packed rows: one row gather per level.
+
+    Bit-exact vs :func:`encode` when ``oct_rows`` keeps the table dtype;
+    with bf16 rows the gathered features round to bf16 (the measured-fast
+    configuration: 32 B rows gather ~3x faster than 64 B fp32 rows).
+    """
+    res = jnp.asarray(resolutions(cfg), dtype=pos_norm.dtype)
+    x = pos_norm[..., None, :] * res[:, None]  # (..., L, D)
+    x0 = jnp.floor(x)
+    if quirks.world_space_lerp:
+        # reference bug (nrc-train.comp:312): world pos minus grid corner
+        assert pos_raw is not None
+        frac = pos_raw[..., None, :] - x0
+    else:
+        frac = x - x0
+    h = hash_coords(x0.astype(jnp.int32), cfg.table_size)  # (..., L)
+    level_base = jnp.arange(cfg.n_levels, dtype=jnp.int32) * cfg.table_size
+    rows = jnp.take(oct_rows, h + level_base, axis=0).astype(pos_norm.dtype)
+    c = 1 << cfg.n_dims
+    rows = rows.reshape(*rows.shape[:-1], c, cfg.n_features)
+    offsets = jnp.asarray(_corner_offsets(cfg.n_dims))  # (C, D)
+    w = jnp.where(offsets.astype(bool), frac[..., None, :],
+                  1.0 - frac[..., None, :])
+    weights = jnp.prod(w, axis=-1)  # (..., L, C)
+    feats = jnp.sum(rows * weights[..., None], axis=-2)  # (..., L, F)
+    return feats.reshape(*pos_norm.shape[:-1],
+                         cfg.n_levels * cfg.n_features)
+
+
 def normalize_pos(pos: jnp.ndarray, box_size, box_center) -> jnp.ndarray:
     """World position -> [0,1]^3 (EncodePosMrhe normPos, nrc-train.comp:268)."""
     size = jnp.asarray(box_size, dtype=pos.dtype)

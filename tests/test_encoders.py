@@ -233,3 +233,75 @@ def test_baked_encode_boundary_positions():
     b = encode_with_baked(table, baked, pos, cfg, FIXED)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_oct_encode_bit_exact_everywhere():
+    """Oct-packed rows (one gather per level) must reproduce the hash-path
+    encode BIT-EXACTLY, including out-of-box positions (the hash wraps
+    identically: corner hashes sit at constant mod-T offsets)."""
+    from neuralradiancecaching_tpu.ops.mrhe import bake_oct, encode_with_oct
+    cfg = MRHEConfig()
+    table = mrhe.init_table(jax.random.PRNGKey(11), cfg)
+    oct_rows = bake_oct(table, cfg)
+    assert oct_rows.shape == (cfg.n_levels * cfg.table_size,
+                              8 * cfg.n_features)
+    pos = jax.random.uniform(jax.random.PRNGKey(12), (256, 3),
+                             minval=-0.3, maxval=1.3)
+    a = np.asarray(mrhe.encode(table, pos, cfg, FIXED))
+    b = np.asarray(encode_with_oct(oct_rows, pos, cfg, FIXED))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_oct_encode_2d_and_boundary():
+    from neuralradiancecaching_tpu.ops.mrhe import bake_oct, encode_with_oct
+    cfg = MRHEConfig(n_levels=3, min_res=4, max_res=16, table_size=512,
+                     n_dims=2)
+    table = mrhe.init_table(jax.random.PRNGKey(13), cfg)
+    oct_rows = bake_oct(table, cfg)
+    assert oct_rows.shape == (3 * 512, 4 * cfg.n_features)
+    pos = jnp.array([[0.0, 0.0], [1.0, 1.0], [0.5, 1.0], [0.999, 0.001]])
+    a = np.asarray(mrhe.encode(table, pos, cfg, FIXED))
+    b = np.asarray(encode_with_oct(oct_rows, pos, cfg, FIXED))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_oct_encode_world_space_lerp_quirk():
+    """The oct path supports the world_space_lerp quirk (the r2 dense path
+    had to bail to the hash encode)."""
+    from neuralradiancecaching_tpu.ops.mrhe import bake_oct, encode_with_oct
+    quirks = QuirkFlags(world_space_lerp=True)
+    cfg = MRHEConfig(n_levels=4, min_res=4, max_res=32, table_size=1024)
+    table = mrhe.init_table(jax.random.PRNGKey(14), cfg)
+    oct_rows = bake_oct(table, cfg)
+    pos_norm = jax.random.uniform(jax.random.PRNGKey(15), (64, 3))
+    pos_raw = pos_norm * 60.0 - 30.0
+    a = np.asarray(mrhe.encode(table, pos_norm, cfg, quirks,
+                               pos_raw=pos_raw))
+    b = np.asarray(encode_with_oct(oct_rows, pos_norm, cfg, quirks,
+                                   pos_raw=pos_raw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_oct_requires_pow2_table():
+    with pytest.raises(ValueError):
+        MRHEConfig(table_size=1000, inference_bake="oct")
+    cfg = MRHEConfig(table_size=1000, inference_bake="dense")
+    assert not mrhe.oct_supported(cfg)
+
+
+def test_query_baked_oct_matches_query():
+    """nrc.query_baked (oct mode) == nrc.query on random rays."""
+    from neuralradiancecaching_tpu import config as cfg_mod
+    from neuralradiancecaching_tpu.models import nrc
+    cfg = cfg_mod.nrc_online_config()
+    state = nrc.init_state(jax.random.PRNGKey(16), cfg)
+    assert cfg.mrhe.inference_bake == "oct"
+    baked = nrc.bake(state, cfg)
+    key = jax.random.PRNGKey(17)
+    half = jnp.asarray(cfg.volume.box_size) * 0.5
+    pos = (jax.random.uniform(key, (64, 3)) * 2 - 1) * half
+    d = jax.random.normal(jax.random.fold_in(key, 1), (64, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    a = np.asarray(nrc.query(state, pos, d, cfg))
+    b = np.asarray(nrc.query_baked(state, baked, pos, d, cfg))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
