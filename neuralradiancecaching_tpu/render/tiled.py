@@ -53,7 +53,8 @@ def _band_plain(scene: Scene, key: jax.Array, ro: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _finish(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
-            rgb, trans, q_pos, q_dir, q_w, ev, cfg: NRCConfig):
+            rgb, trans, q_pos, q_dir, q_w, ev, cfg: NRCConfig,
+            env_rgb=None):
     def query_fn(qpos, qdir):
         return nrc.query_baked(state, baked, qpos, qdir, cfg)
 
@@ -61,7 +62,20 @@ def _finish(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
     # rays eagerly would cost host dispatches per frame)
     ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
     return pathtrace.finish_deferred(scene, cfg, ro, rd, rgb, trans,
-                                     q_pos, q_dir, q_w, query_fn, events=ev)
+                                     q_pos, q_dir, q_w, query_fn, events=ev,
+                                     env_rgb=env_rgb)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def frame_env_color(scene: Scene, cfg: NRCConfig) -> jnp.ndarray:
+    """Direct env radiance per pixel (N, 3) for the current camera.
+
+    Static per camera pose: progressive/bench loops compute it once and
+    pass it to render_banded, removing the ~45 ms/frame full-frame env
+    gather from the per-frame critical path (recompute on camera move)."""
+    _, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+    from neuralradiancecaching_tpu.ops import envmap as envmap_ops
+    return envmap_ops.sample_direct(scene.env, rd, hpm=False)
 
 
 def render_tiled(state: nrc.NRCState, scene: Scene, key: jax.Array,
@@ -169,7 +183,7 @@ def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
 @partial(jax.jit, static_argnames=("cfg",))
 def _finish_packed(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
                    sel, val, rgb_p, trans_p, qp, qd, qw, ev,
-                   cfg: NRCConfig):
+                   cfg: NRCConfig, env_rgb=None):
     from neuralradiancecaching_tpu.ops import compact
     from neuralradiancecaching_tpu.ops import envmap as envmap_ops
 
@@ -181,13 +195,16 @@ def _finish_packed(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
                                       query_fn, events=ev, cap_n=n)
     rgb = compact.scatter_back(n, sel, val, rgb_p, 0.0)
     trans = compact.scatter_back(n, sel, val, trans_p, 1.0)
-    ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
-    env_color = envmap_ops.sample_direct(scene.env, rd, hpm=False)
-    return rgb + trans[:, None] * env_color
+    if env_rgb is None:
+        _, rd = pixel_rays(scene.camera, cfg.render.width,
+                           cfg.render.height)
+        env_rgb = envmap_ops.sample_direct(scene.env, rd, hpm=False)
+    return rgb + trans[:, None] * env_rgb
 
 
 def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
-                  cfg: NRCConfig, band_rows: int = 54) -> jnp.ndarray:
+                  cfg: NRCConfig, band_rows: int = 54,
+                  env_rgb=None, baked=None) -> jnp.ndarray:
     """Whole frame as TWO jitted programs: ``lax.map`` over row bands for
     the march+shade, then a frame-global compacted cache query. (One fused
     program exceeds the axon remote compile helper's size limit at 1080p;
@@ -195,6 +212,11 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
     Numerically identical to :func:`render_tiled` with the same band size
     (tested); transients stay band-sized because lax.map is sequential.
+
+    env_rgb: precomputed :func:`frame_env_color` (static per camera pose).
+    baked: precomputed ``nrc.bake(state, cfg)`` -- pass it when rendering
+    several frames from one cache state (bench) or baking every N frames
+    of a training run (cache drift per frame is tiny at production lr).
     """
     h, w = cfg.render.height, cfg.render.width
     assert h % band_rows == 0, (h, band_rows)
@@ -202,19 +224,19 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
         out = _bands_program(scene, key, cfg, band_rows)
         return out.reshape(h, w, 3)
 
+    if baked is None:
+        baked = nrc.bake(state, cfg)
     if (cfg.render.live_pack_fraction > 0.0 and pathtrace.shade_deferred(cfg)
             and not cfg.render.show_non_nn):
         sel, val, rgb_p, trans_p, qp, qd, qw, ev = _packed_bands_program(
             scene, key, cfg, band_rows)
-        baked = nrc.bake(state, cfg)
         out = _finish_packed(state, baked, scene, sel, val, rgb_p, trans_p,
-                             qp, qd, qw, ev, cfg)
+                             qp, qd, qw, ev, cfg, env_rgb)
         return out.reshape(h, w, 3)
 
     rgb, trans, qp, qd, qw, ev = _bands_program(scene, key, cfg, band_rows)
-    baked = nrc.bake(state, cfg)
     ev = ev.reshape((ev.shape[0] * ev.shape[1],) + ev.shape[2:])
     out = _finish(state, baked, scene, rgb.reshape(-1, 3),
                   trans.reshape(-1), qp.reshape(-1, 3), qd.reshape(-1, 3),
-                  qw.reshape(-1), ev, cfg)
+                  qw.reshape(-1), ev, cfg, env_rgb)
     return out.reshape(h, w, 3)
