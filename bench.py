@@ -79,7 +79,11 @@ def main():
     # so it only needs margin for frame-to-frame variation of the mean
     # fraction, not per-band skew
     qfrac = float(np.asarray((res.query_weight > 0).mean()))
-    cap = min(1.0, float(np.ceil((qfrac * 1.15 + 0.01) / 0.0625) * 0.0625))
+    # 1/64 cap granularity: the query runs in 32k-row chunks anyway, so
+    # coarse 1/16 rounding only over-provisions the pack gather (measured
+    # 0.25 vs the needed 0.20 at the bench scene = ~3 extra 32k chunks)
+    cap = min(1.0, float(np.ceil((qfrac * 1.15 + 0.01) / 0.015625)
+                         * 0.015625))
     # ... and the pre-march entry cap from the measured fraction of rays
     # with any optical depth at their entry point
     from neuralradiancecaching_tpu.ops import lightfield, volume as vol_ops
@@ -102,8 +106,8 @@ def main():
             use_nn=True, collect_events=True)
         ev_mean = float(np.asarray((ev[..., 6] > 0).sum(axis=1).mean()))
         shade_cap = min(float(ev.shape[1]),
-                        float(np.ceil((ev_mean * 1.15 + 0.05) / 0.0625)
-                              * 0.0625))
+                        float(np.ceil((ev_mean * 1.15 + 0.05) / 0.015625)
+                              * 0.015625))
     # frame-global live-ray packing: cap from the probed entry-live
     # fraction (measured A/B: pack 0.3125 vs off = 516 vs 549 ms @1080p)
     pack = 0.0
