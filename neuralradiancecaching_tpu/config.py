@@ -99,6 +99,14 @@ class OptimizerConfig:
     beta1: float = 0.5
     clip_border: float = 1000.0
     reset_border: float = 1000.0
+    # 'momentum' = the reference's guarded momentum-SGD (nrc-step.comp);
+    # 'adam' = guarded Adam (ops/optimizers.py:adam_step) -- the
+    # radiance-cache/Instant-NGP standard the reference lacks. beta2/eps
+    # are Adam-only (beta1 doubles as Adam's first-moment decay; set it
+    # to 0.9 when switching kinds).
+    kind: str = "momentum"
+    beta2: float = 0.99
+    eps: float = 1e-15
 
 
 @dataclass(frozen=True)
@@ -121,6 +129,13 @@ class MRHEConfig:
     weight_decay: float = 0.0
     clip_border: float = 100.0
     reset_border: float = 1000.0
+    # hash-table optimizer: 'sgd' = the reference's guarded plain SGD
+    # (mrhe-step.comp); 'adam' = guarded sparse Adam (zero-grad rows keep
+    # their moments/params -- the Instant-NGP recipe for hash grids).
+    optimizer: str = "sgd"
+    beta1: float = 0.9
+    beta2: float = 0.99
+    eps: float = 1e-15
     n_dims: int = 3  # 3 for volume positions, 2 for image fit
     # inference fast path: levels with res <= dense_max_res are baked into
     # dense corner-packed grids after each optimizer step (1 row gather per
@@ -540,10 +555,18 @@ def pathtrace_config(width: int = 800, height: int = 800,
 
 def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
     """Config 4: NRC online train+query in the render loop (the reference's
-    default workload, src/main.cpp:109-166)."""
+    default workload, src/main.cpp:109-166).
+
+    Optimizers default to guarded Adam on both the MLP and the hash table:
+    measured converged cache error 0.038 vs 0.235 for the reference's
+    momentum-SGD/plain-SGD pair at identical lrs and step count
+    (scripts/profile_adam.py; docs/PERFORMANCE.md r3). reference_exact()
+    keeps the reference's optimizers."""
     return NRCConfig(render=RenderConfig(width=width, height=height,
                                          use_nn=True),
-                     env_map=EnvMapConfig(in_scatter_mode="field"))
+                     env_map=EnvMapConfig(in_scatter_mode="field"),
+                     mlp_opt=OptimizerConfig(kind="adam", beta1=0.9),
+                     mrhe=MRHEConfig(optimizer="adam"))
 
 
 def reference_exact(width: int = 800, height: int = 800) -> "NRCConfig":
@@ -594,4 +617,8 @@ def progressive_1080p_config() -> "NRCConfig":
         # shade gathers: 649 -> 555 ms/frame measured, mean radiance
         # unchanged to 4 decimals (scripts/profile_bf16.py)
         volume=VolumeConfig(field_dtype="bfloat16"),
+        # guarded Adam on MLP + hash table: converged cache error 0.038 vs
+        # 0.235 for the reference's SGD pair (scripts/profile_adam.py)
+        mlp_opt=OptimizerConfig(kind="adam", beta1=0.9),
+        mrhe=MRHEConfig(optimizer="adam"),
     )

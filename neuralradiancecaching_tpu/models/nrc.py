@@ -28,11 +28,20 @@ from neuralradiancecaching_tpu.ops import optimizers
 
 class NRCState(NamedTuple):
     """All trainable state + optimizer state (the 36 weight/delta/momentum
-    SSBOs + hash/delta tables of the reference, as a single pytree)."""
+    SSBOs + hash/delta tables of the reference, as a single pytree).
+
+    The optional fields exist only when the corresponding Adam optimizer
+    is configured (OptimizerConfig.kind / MRHEConfig.optimizer) -- `None`
+    is an empty pytree subtree, so momentum-SGD states keep the r1/r2
+    checkpoint layout bit-for-bit."""
 
     mlp_params: dict       # w0..w5 / b0..b5
-    mlp_momentum: dict
-    hash_table: jnp.ndarray  # (L, T, F)
+    mlp_momentum: dict     # momentum-SGD momentum, or Adam first moment
+    hash_table: jnp.ndarray
+    mlp_second: dict | None = None      # Adam second moment (MLP)
+    hash_momentum: jnp.ndarray | None = None  # Adam first moment (hash)
+    hash_second: jnp.ndarray | None = None    # Adam second moment (hash)
+    opt_step: jnp.ndarray | None = None  # Adam bias-correction counter  # (L, T, F)
 
 
 def input_features(cfg: NRCConfig) -> int:
@@ -50,10 +59,19 @@ def init_state(key: jax.Array, cfg: NRCConfig) -> NRCState:
             f"oneblob {cfg.oneblob.n_outputs})")
     k_mlp, k_hash = jax.random.split(key)
     mlp_params = mlp_ops.init_params(k_mlp, cfg.mlp)
+    hash_table = mrhe_ops.init_table(k_hash, cfg.mrhe)
+    adam_mlp = cfg.mlp_opt.kind == "adam"
+    adam_hash = cfg.mrhe.optimizer == "adam"
     return NRCState(
         mlp_params=mlp_params,
         mlp_momentum=optimizers.init_momentum(mlp_params),
-        hash_table=mrhe_ops.init_table(k_hash, cfg.mrhe),
+        hash_table=hash_table,
+        mlp_second=(optimizers.init_momentum(mlp_params) if adam_mlp
+                    else None),
+        hash_momentum=jnp.zeros_like(hash_table) if adam_hash else None,
+        hash_second=jnp.zeros_like(hash_table) if adam_hash else None,
+        opt_step=(jnp.zeros((), jnp.int32) if (adam_mlp or adam_hash)
+                  else None),
     )
 
 
@@ -150,13 +168,39 @@ def compute_grads(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,
 
 
 def apply_grads(state: NRCState, grads, cfg: NRCConfig) -> NRCState:
-    """Both optimizer dispatches (nrc-step.comp + mrhe-step.comp)."""
+    """Both optimizer dispatches (nrc-step.comp + mrhe-step.comp), or the
+    configured Adam extensions (OptimizerConfig.kind/MRHEConfig.optimizer)."""
     mlp_grads, hash_grad = grads
-    mlp_params, mlp_momentum = optimizers.momentum_sgd_step(
-        state.mlp_params, state.mlp_momentum, mlp_grads, cfg.mlp_opt)
-    hash_table = optimizers.hash_sgd_step(state.hash_table, hash_grad,
-                                          cfg.mrhe)
-    return NRCState(mlp_params, mlp_momentum, hash_table)
+    opt_step = state.opt_step
+    if opt_step is not None:
+        opt_step = opt_step + 1
+
+    mlp_second = state.mlp_second
+    if cfg.mlp_opt.kind == "adam":
+        mlp_params, mlp_momentum, mlp_second = optimizers.adam_step(
+            state.mlp_params, state.mlp_momentum, mlp_second, mlp_grads,
+            opt_step, cfg.mlp_opt)
+    else:
+        mlp_params, mlp_momentum = optimizers.momentum_sgd_step(
+            state.mlp_params, state.mlp_momentum, mlp_grads, cfg.mlp_opt)
+
+    hash_momentum, hash_second = state.hash_momentum, state.hash_second
+    if cfg.mrhe.optimizer == "adam":
+        from neuralradiancecaching_tpu.config import OptimizerConfig
+        hcfg = OptimizerConfig(
+            learning_rate=cfg.mrhe.learning_rate,
+            weight_decay=cfg.mrhe.weight_decay,
+            beta1=cfg.mrhe.beta1, beta2=cfg.mrhe.beta2, eps=cfg.mrhe.eps,
+            clip_border=cfg.mrhe.clip_border,
+            reset_border=cfg.mrhe.reset_border, kind="adam")
+        hash_table, hash_momentum, hash_second = optimizers.adam_step(
+            state.hash_table, hash_momentum, hash_second, hash_grad,
+            opt_step, hcfg, skip_zero_grad=True)
+    else:
+        hash_table = optimizers.hash_sgd_step(state.hash_table, hash_grad,
+                                              cfg.mrhe)
+    return NRCState(mlp_params, mlp_momentum, hash_table, mlp_second,
+                    hash_momentum, hash_second, opt_step)
 
 
 def dump_weights(state: NRCState, max_per_layer: int = 8) -> str:

@@ -61,6 +61,63 @@ def momentum_sgd_step(
     return new_params, new_momentum
 
 
+def init_adam(params: PyTree) -> Tuple[PyTree, PyTree]:
+    """Zero (m, v) Adam state, one pair of leaves per parameter."""
+    z = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return z, jax.tree_util.tree_map(jnp.zeros_like, params)
+
+
+def adam_step(
+    params: PyTree,
+    m: PyTree,
+    v: PyTree,
+    grads: PyTree,
+    step: jnp.ndarray,
+    cfg: OptimizerConfig,
+    skip_zero_grad: bool = False,
+) -> Tuple[PyTree, PyTree, PyTree]:
+    """One guarded Adam step (kind='adam').
+
+    Extends the reference's optimizer family (nrc-step.comp is
+    momentum-SGD-only) with the Instant-NGP standard for hash-grid
+    training: beta1=0.9, beta2=0.99, eps=1e-15, and -- when
+    ``skip_zero_grad`` -- moments and parameters update ONLY where the
+    batch gradient is nonzero (sparse hash rows: decaying the moments of
+    untouched rows both wastes work and un-learns them).
+
+    Keeps the reference's guard semantics: non-finite gradients are
+    zeroed and clipped to ``clip_border`` (guard_delta), and non-finite
+    or exploded parameters reset to 0 (reset_bad_params).
+
+    ``step`` is the 1-based step counter AFTER this update (callers pass
+    the incremented counter) used for bias correction.
+    """
+    b1, b2 = cfg.beta1, cfg.beta2
+    bc1 = 1.0 - b1 ** step.astype(jnp.float32)
+    bc2 = 1.0 - b2 ** step.astype(jnp.float32)
+
+    def leaf(w, m_i, v_i, g):
+        g = -guards.guard_delta(-g, cfg.clip_border)  # NaN->0, clip
+        g = g + cfg.weight_decay * w
+        m_new = b1 * m_i + (1.0 - b1) * g
+        v_new = b2 * v_i + (1.0 - b2) * g * g
+        upd = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + cfg.eps)
+        w_new = w - cfg.learning_rate * upd
+        if skip_zero_grad:
+            touched = g != 0.0
+            m_new = jnp.where(touched, m_new, m_i)
+            v_new = jnp.where(touched, v_new, v_i)
+            w_new = jnp.where(touched, w_new, w)
+        w_new = guards.reset_bad_params(w_new, cfg.reset_border)
+        return w_new, m_new, v_new
+
+    flat = jax.tree_util.tree_map(leaf, params, m, v, grads)
+    is_t = lambda t: isinstance(t, tuple)  # noqa: E731
+    pick = lambda i: jax.tree_util.tree_map(lambda t: t[i], flat,  # noqa
+                                            is_leaf=is_t)
+    return pick(0), pick(1), pick(2)
+
+
 def hash_sgd_step(
     table: jnp.ndarray,
     grad: jnp.ndarray,

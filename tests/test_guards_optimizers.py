@@ -82,3 +82,58 @@ def test_hash_sgd_explosion_reset():
     grad = jnp.array([-600.0])  # w' = 999.5 + 600 = 1599.5 > 1000 -> reset
     out = optimizers.hash_sgd_step(table, grad, cfg)
     np.testing.assert_allclose(np.asarray(out), [0.0])
+
+
+def test_adam_matches_dense_reference():
+    """adam_step (without zero-skip) matches a hand-rolled Adam recurrence
+    with bias correction."""
+    cfg = OptimizerConfig(kind="adam", learning_rate=0.01, beta1=0.9,
+                          beta2=0.99, eps=1e-15)
+    w = jnp.array([1.0, -2.0])
+    g = jnp.array([0.5, -0.25])
+    m = jnp.zeros(2)
+    v = jnp.zeros(2)
+    params = {"w": w}
+    mt, vt = {"w": m}, {"w": v}
+    w_ref, m_ref, v_ref = np.asarray(w), np.asarray(m), np.asarray(v)
+    for t in range(1, 4):
+        params, mt, vt = optimizers.adam_step(
+            params, mt, vt, {"w": g}, jnp.int32(t), cfg)
+        m_ref = 0.9 * m_ref + 0.1 * np.asarray(g)
+        v_ref = 0.99 * v_ref + 0.01 * np.asarray(g) ** 2
+        mhat = m_ref / (1 - 0.9 ** t)
+        vhat = v_ref / (1 - 0.99 ** t)
+        w_ref = w_ref - 0.01 * mhat / (np.sqrt(vhat) + 1e-15)
+    np.testing.assert_allclose(np.asarray(params["w"]), w_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mt["w"]), m_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(vt["w"]), v_ref, rtol=1e-5)
+
+
+def test_adam_skip_zero_grad_freezes_untouched_rows():
+    """Sparse-hash semantics: rows with exactly-zero gradient keep their
+    parameters AND moments (the Instant-NGP hash-grid recipe)."""
+    cfg = OptimizerConfig(kind="adam", learning_rate=0.1, beta1=0.9,
+                          beta2=0.99, eps=1e-15)
+    w = jnp.array([1.0, 2.0])
+    m = jnp.array([0.3, 0.4])
+    v = jnp.array([0.05, 0.06])
+    g = jnp.array([0.7, 0.0])  # row 1 untouched this batch
+    p2, m2, v2 = optimizers.adam_step({"w": w}, {"w": m}, {"w": v},
+                                      {"w": g}, jnp.int32(5), cfg,
+                                      skip_zero_grad=True)
+    assert float(p2["w"][1]) == 2.0
+    np.testing.assert_allclose(float(m2["w"][1]), 0.4, rtol=1e-6)
+    np.testing.assert_allclose(float(v2["w"][1]), 0.06, rtol=1e-6)
+    assert float(p2["w"][0]) != 1.0  # touched row moved
+
+
+def test_adam_nan_grad_contained():
+    cfg = OptimizerConfig(kind="adam", learning_rate=0.1, beta1=0.9,
+                          beta2=0.99)
+    p2, m2, v2 = optimizers.adam_step(
+        {"w": jnp.array([1.0, -1.0])}, {"w": jnp.zeros(2)},
+        {"w": jnp.zeros(2)}, {"w": jnp.array([jnp.nan, jnp.inf])},
+        jnp.int32(1), cfg)
+    assert bool(jnp.all(jnp.isfinite(p2["w"])))
+    assert bool(jnp.all(jnp.isfinite(m2["w"])))
+    assert bool(jnp.all(jnp.isfinite(v2["w"])))
