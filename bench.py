@@ -263,11 +263,32 @@ def quality_metrics(cfg, scene, state):
             acc = img if acc is None else acc + img
         return np.asarray(acc / spp_total)
 
+    # Noise-controlled protocol (VERDICT r2 item 5): the raw NRC-vs-MC
+    # image RMSE is dominated by the comparison's own MC noise at
+    # affordable spp, so the <=1% north-star question is unanswerable from
+    # it. Render TWIN PAIRS with disjoint key ranges: for images
+    # A1,A2 ~ (bias + noise) and R1,R2 ~ noise,
+    #   E mean((Abar-Rbar)^2) = bias^2 + (s_A^2 + s_R^2)/2
+    # with s^2 estimated per-pixel from the twins (E mean((A1-A2)^2)
+    # = 2 s_A^2), giving an unbiased bias^2 estimate after subtraction
+    # (averaged over 262k pixels the estimator noise is negligible).
     img_nn = accum(qcfg, spp_nn, 2000)
+    img_nn2 = accum(qcfg, spp_nn, 6000)
     ref_cfg = dataclasses.replace(
         qcfg, render=dataclasses.replace(qcfg.render, use_nn=False))
     img_ref = accum(ref_cfg, spp_ref, 3000)
+    img_ref2 = accum(ref_cfg, spp_ref, 7000)
     rel = relative_rmse(img_nn, img_ref)
+
+    nn_bar = (img_nn + img_nn2) / 2
+    ref_bar = (img_ref + img_ref2) / 2
+    var_nn = float(np.mean((img_nn - img_nn2) ** 2)) / 2
+    var_ref = float(np.mean((img_ref - img_ref2) ** 2)) / 2
+    ms_delta = float(np.mean((nn_bar - ref_bar) ** 2))
+    noise_floor_ms = (var_nn + var_ref) / 2
+    rms_ref = float(np.sqrt(np.mean(ref_bar ** 2)))
+    bias_rel = float(np.sqrt(max(ms_delta - noise_floor_ms, 0.0))) / rms_ref
+    floor_rel = float(np.sqrt(noise_floor_ms)) / rms_ref
 
     # cap bias A/B (same single key; shading deterministic in field mode)
     uncapped = dataclasses.replace(
@@ -282,6 +303,12 @@ def quality_metrics(cfg, scene, state):
                                               uncapped))
     out = {
         "relative_rmse": round(float(rel), 5),
+        # noise-subtracted NRC image bias (the north-star <=1% number) and
+        # the comparison's own noise floor; bias is falsifiable iff the
+        # floor's CONTRIBUTION to it is small (floor enters quadratically:
+        # a 5% floor biases a 1% true signal by <0.2%)
+        "relative_rmse_noise_sub": round(bias_rel, 5),
+        "noise_floor_rel": round(floor_rel, 5),
         "quality_size": qside,
         "quality_train_steps": train_steps,
         "cap_bias_rmse": round(float(relative_rmse(a, b)), 6),

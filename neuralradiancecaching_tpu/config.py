@@ -205,6 +205,11 @@ class VolumeConfig:
     # HBM-latency-bound at 16-48B rows, so bf16 halves the gathered bytes;
     # queries upcast after the gather. ~0.4% relative error on tau/radiance.
     field_dtype: str = "float32"
+    # voxel resolution of ALL baked light/collision fields (tau, env
+    # scatter, collision); production default from the r2 sweep. Small
+    # values make the bakes cheap enough for the virtual-CPU mesh dryrun
+    # to exercise the SHIPPED collision pipeline (VERDICT r2 item 6).
+    field_shape: Tuple[int, int, int] = (32, 24, 40)
 
 
 @dataclass(frozen=True)

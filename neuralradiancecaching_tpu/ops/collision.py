@@ -60,7 +60,7 @@ ROW_WIDTH = 4 + N_KNOTS
 @partial(jax.jit, static_argnames=("vol", "steps", "field_shape"))
 def build_collision_field(density_field: jnp.ndarray, vol: VolumeConfig,
                           steps: int = 48,
-                          field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                          field_shape: Tuple[int, int, int] | None = None
                           ) -> jnp.ndarray:
     """(V * N_THETA * N_PHI, 8) rows; V = prod(field_shape).
 
@@ -69,6 +69,7 @@ def build_collision_field(density_field: jnp.ndarray, vol: VolumeConfig,
     packing to lightfield.build_transmittance_field) followed by the
     N_KNOTS quantile distances of THIS bucket's cumulative-tau profile.
     """
+    field_shape = field_shape or vol.field_shape
     nx, ny, nz = field_shape
     size = jnp.asarray(vol.box_size, jnp.float32)
     center = jnp.asarray(vol.box_center, jnp.float32)
@@ -154,10 +155,11 @@ def build_collision_field(density_field: jnp.ndarray, vol: VolumeConfig,
 
 def query_collision_rows(field: jnp.ndarray, pos: jnp.ndarray,
                          d: jnp.ndarray, vol: VolumeConfig,
-                         field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                         field_shape: Tuple[int, int, int] | None = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One row gather -> (tau_total bilinear over (theta, phi), knots (.., J)
     of the nearest bucket). pos/d: (..., 3)."""
+    field_shape = field_shape or vol.field_shape
     nx, ny, nz = field_shape
     uvw = volume_ops.world_to_uvw(pos, vol.box_size, vol.box_center)
     ijk = jnp.clip((uvw * jnp.asarray(field_shape, uvw.dtype)).astype(
@@ -189,7 +191,7 @@ def query_collision_rows(field: jnp.ndarray, pos: jnp.ndarray,
 
 def sample_collision(field: jnp.ndarray, pos: jnp.ndarray, d: jnp.ndarray,
                      u: jnp.ndarray, vol: VolumeConfig,
-                     field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                     field_shape: Tuple[int, int, int] | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample a scatter distance along (pos, d) by exact inverse-CDF of the
     baked profile.
@@ -198,6 +200,7 @@ def sample_collision(field: jnp.ndarray, pos: jnp.ndarray, d: jnp.ndarray,
     (conditioned on scattering) and the analytic scatter probability
     1 - exp(-tau_total). Zero-tau rays return (0, 0).
     """
+    field_shape = field_shape or vol.field_shape
     tau, knots = query_collision_rows(field, pos, d, vol, field_shape)
     t = knots_to_distance(tau, knots, u)
     p_sc = -jnp.expm1(-tau)

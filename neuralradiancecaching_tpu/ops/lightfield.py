@@ -57,7 +57,7 @@ from functools import partial
 @partial(jax.jit, static_argnames=("vol", "steps", "field_shape"))
 def build_transmittance_field(density_field: jnp.ndarray, vol: VolumeConfig,
                               steps: int = 16,
-                              field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                              field_shape: Tuple[int, int, int] | None = None
                               ) -> jnp.ndarray:
     """(V * N_THETA * N_PHI, 4) corner-packed exit-tau rows,
     V = prod(field_shape): row (vox, it, ip) holds the bilinear patch
@@ -67,6 +67,7 @@ def build_transmittance_field(density_field: jnp.ndarray, vol: VolumeConfig,
     Voxel centers span the volume AABB; directions are the equirect bucket
     CENTERS (matching the query's bilinear reconstruction).
     """
+    field_shape = field_shape or vol.field_shape
     nx, ny, nz = field_shape
     size = jnp.asarray(vol.box_size, jnp.float32)
     center = jnp.asarray(vol.box_center, jnp.float32)
@@ -109,10 +110,11 @@ def build_transmittance_field(density_field: jnp.ndarray, vol: VolumeConfig,
 
 def query_tau_field(field: jnp.ndarray, pos: jnp.ndarray,
                     d: jnp.ndarray, vol: VolumeConfig,
-                    field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                    field_shape: Tuple[int, int, int] | None = None
                     ) -> jnp.ndarray:
     """Optical depth tau(pos -> exit along d): nearest voxel row + bilinear
     over (theta, phi) with phi wraparound. pos/d: (..., 3) -> (...,)."""
+    field_shape = field_shape or vol.field_shape
     nx, ny, nz = field_shape
     uvw = volume_ops.world_to_uvw(pos, vol.box_size, vol.box_center)
     ijk = jnp.clip((uvw * jnp.asarray(field_shape, uvw.dtype)).astype(
@@ -143,15 +145,16 @@ def query_tau_field(field: jnp.ndarray, pos: jnp.ndarray,
 
 def query_transmittance_field(field: jnp.ndarray, pos: jnp.ndarray,
                               d: jnp.ndarray, vol: VolumeConfig,
-                              field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                              field_shape: Tuple[int, int, int] | None = None
                               ) -> jnp.ndarray:
     """T(pos -> exit along d) = exp(-tau)."""
+    field_shape = field_shape or vol.field_shape
     return jnp.exp(-query_tau_field(field, pos, d, vol, field_shape))
 
 
 def segment_transmittance_field(field: jnp.ndarray, a: jnp.ndarray,
                                 b: jnp.ndarray, vol: VolumeConfig,
-                                field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                                field_shape: Tuple[int, int, int] | None = None
                                 ) -> jnp.ndarray:
     """Transmittance of the segment a -> b from the SAME exit-tau field:
 
@@ -163,6 +166,7 @@ def segment_transmittance_field(field: jnp.ndarray, a: jnp.ndarray,
     correlated lookups. TWO row gathers replace the reference's 32-step
     quadrature (GetTransmittance, nrc-train.comp:1032-1053).
     """
+    field_shape = field_shape or vol.field_shape
     seg = b - a
     length = jnp.linalg.norm(seg, axis=-1)
     d = seg / jnp.maximum(length, 1e-12)[..., None]
@@ -196,10 +200,11 @@ L_N_PHI = 16
 @partial(jax.jit, static_argnames=("vol", "steps", "field_shape"))
 def build_radiance_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
                          vol: VolumeConfig, steps: int = 16,
-                         field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                         field_shape: Tuple[int, int, int] | None = None
                          ) -> jnp.ndarray:
     """(V * L_N_THETA * L_N_PHI, 12) rows: the (theta, phi) bilinear patch
     of T * Env rgb (WITHOUT the hpm strength -- applied at query time)."""
+    field_shape = field_shape or vol.field_shape
     nx, ny, nz = field_shape
     size = jnp.asarray(vol.box_size, jnp.float32)
     center = jnp.asarray(vol.box_center, jnp.float32)
@@ -258,10 +263,11 @@ def build_radiance_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
 @partial(jax.jit, static_argnames=("vol", "hg_g", "steps", "field_shape"))
 def build_scatter_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
                         vol: VolumeConfig, hg_g: float, steps: int = 16,
-                        field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                        field_shape: Tuple[int, int, int] | None = None
                         ) -> jnp.ndarray:
     """(V * L_N_THETA * L_N_PHI, 12) corner-packed rows of the HG-convolved
     in-scatter radiance (WITHOUT hpm strength -- applied at query time)."""
+    field_shape = field_shape or vol.field_shape
     from neuralradiancecaching_tpu.ops import envmap as envmap_ops
     from neuralradiancecaching_tpu.ops import phase as phase_ops
 
@@ -321,10 +327,11 @@ def build_scatter_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
 
 def query_radiance_field(field: jnp.ndarray, pos: jnp.ndarray,
                          d: jnp.ndarray, vol: VolumeConfig,
-                         field_shape: Tuple[int, int, int] = FIELD_SHAPE
+                         field_shape: Tuple[int, int, int] | None = None
                          ) -> jnp.ndarray:
     """T*Env rgb seen from pos toward exit along d: one 12-float row gather
     + (theta, phi) bilinear. (..., 3)."""
+    field_shape = field_shape or vol.field_shape
     nx, ny, nz = field_shape
     uvw = volume_ops.world_to_uvw(pos, vol.box_size, vol.box_center)
     ijk = jnp.clip((uvw * jnp.asarray(field_shape, uvw.dtype)).astype(
