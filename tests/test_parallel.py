@@ -134,3 +134,99 @@ def test_dp_render_banded_runs():
                            band_rows=2)
     assert img.shape == (16, 16, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def dp_collision_config():
+    """The SHIPPED pipeline flavor (collision sampler + deferred events +
+    bf16 fields + field light modes) at mesh-test scale: coarse baked-field
+    resolution so the bakes run in seconds on the virtual CPU mesh."""
+    cfg = dp_config()
+    return dataclasses.replace(
+        cfg,
+        path=dataclasses.replace(cfg.path, sampler="collision",
+                                 collision_field_steps=8),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field"),
+        volume=dataclasses.replace(cfg.volume, field_dtype="bfloat16",
+                                   field_shape=(4, 4, 4)),
+        render=dataclasses.replace(cfg.render, width=16, height=16,
+                                   use_nn=True),
+    )
+
+
+def test_dp_collision_frame_step_end_to_end():
+    """The flagship collision pipeline executes under shard_map (VERDICT r2
+    item 6): full DP train + render step, finite and replicated."""
+    cfg = dp_collision_config()
+    scene = tiny_scene(cfg)
+    mesh = make_mesh()
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    state, img, mse = dp_frame_step(state, scene, jax.random.PRNGKey(1),
+                                    cfg, mesh)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert np.isfinite(float(mse))
+
+
+def test_dp_render_banded_collision_mesh1_vs_mesh8():
+    """SURVEY §4 mesh-size parity, render side: the banded DP render keys
+    every band by its GLOBAL band id and caps are drop-free at defaults, so
+    the image is the same on a 1-device and an 8-device mesh (same seed)."""
+    from neuralradiancecaching_tpu.parallel import dp_render_banded
+
+    cfg = dp_collision_config()
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    img1 = dp_render_banded(state, scene, jax.random.PRNGKey(3), cfg,
+                            make_mesh(1), band_rows=2)
+    img8 = dp_render_banded(state, scene, jax.random.PRNGKey(3), cfg,
+                            make_mesh(8), band_rows=2)
+    assert np.isfinite(np.asarray(img1)).all()
+    np.testing.assert_allclose(np.asarray(img8), np.asarray(img1),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dp_train_step_mesh8_equals_sharded_single_device():
+    """SURVEY §4 mesh-size parity, train side: one dp_train_step on the
+    8-device mesh produces the same post-step parameters as a single-device
+    emulation of the identical 8-shard key/ray split (grads meaned across
+    shards, replicated update) -- the DP step adds sharding, not math."""
+    from neuralradiancecaching_tpu.render import targets
+    from neuralradiancecaching_tpu.scene.camera import pixel_rays
+
+    cfg = dp_collision_config()
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(7)
+
+    state8, mse8 = dp_train_step(state, scene, key, cfg, make_mesh(8))
+
+    # single-device emulation with the same per-shard key folding
+    ro, rd = pixel_rays(scene.camera, cfg.train.train_width,
+                        cfg.train.train_height)
+    n = ro.shape[0]
+    per = n // 8
+    grads_sum = None
+    mses = []
+    for d in range(8):
+        kd = jax.random.fold_in(key, d)
+        sl = slice(d * per, (d + 1) * per)
+        batch = targets.generate_train_batch_for_rays(scene, cfg, kd,
+                                                      ro[sl], rd[sl])
+        g, mse = nrc.compute_grads(state, batch.pos, batch.dir,
+                                   batch.target, cfg)
+        mses.append(float(mse))
+        if grads_sum is None:
+            grads_sum = g
+        else:
+            grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, g)
+    grads_mean = jax.tree_util.tree_map(lambda x: x / 8.0, grads_sum)
+    state1 = nrc.apply_grads(state, grads_mean, cfg)
+
+    np.testing.assert_allclose(float(mse8), np.mean(mses), rtol=1e-5)
+    for name in state1.mlp_params:
+        np.testing.assert_allclose(np.asarray(state8.mlp_params[name]),
+                                   np.asarray(state1.mlp_params[name]),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state8.hash_table),
+                               np.asarray(state1.hash_table),
+                               rtol=1e-5, atol=1e-6)
