@@ -91,6 +91,21 @@ def _band_rows(width: int, height: int) -> int | None:
     return None
 
 
+def _mesh_from_arg(mesh_arg):
+    """--mesh off|auto|N -> a jax.sharding.Mesh (or None when off).
+
+    'auto' takes every visible device, so the same command runs unmodified
+    on today's single chip and on a v5e-8 (the DP layer reshards rays and
+    pixels; parallel/data_parallel.py)."""
+    if not mesh_arg or mesh_arg == "off":
+        return None
+    import jax
+
+    from neuralradiancecaching_tpu.parallel import make_mesh
+    n = len(jax.devices()) if mesh_arg == "auto" else int(mesh_arg)
+    return make_mesh(n)
+
+
 def _render_frame(state, scene, key, cfg):
     """Render one frame, banded when large. Returns np (H, W, 3)."""
     import jax
@@ -145,10 +160,25 @@ def cmd_nrc_online(args) -> None:
     log = MetricsLogger(args.metrics)
     img = None
     big = _band_rows(args.width, args.height) is not None
+    mesh = _mesh_from_arg(getattr(args, "mesh", None))
     for i in range(args.frames):
         t0 = time.perf_counter()
         key = jax.random.PRNGKey(args.seed * 7919 + i)
-        if big:
+        if mesh is not None and big:
+            from neuralradiancecaching_tpu.parallel import (
+                dp_train_banded_frame)
+            state, out_img, mse = dp_train_banded_frame(
+                state, scene, key, cfg, mesh,
+                band_rows=_band_rows(args.width, args.height))
+            img = np.asarray(out_img)
+            out_mse = float(np.asarray(mse))
+        elif mesh is not None:
+            from neuralradiancecaching_tpu.parallel import dp_frame_step
+            state, out_img, mse = dp_frame_step(state, scene, key, cfg,
+                                                mesh)
+            img = np.asarray(out_img)
+            out_mse = float(np.asarray(mse))
+        elif big:
             # large frames: separate train pass + banded render (one huge
             # fused frame program can crash the remote compile helper)
             k1, k2 = jax.random.split(key)
@@ -209,6 +239,7 @@ def cmd_progressive(args) -> None:
     from neuralradiancecaching_tpu.render.tiled import frame_env_color
 
     banded = _band_rows(args.width, args.height) is not None
+    mesh = _mesh_from_arg(getattr(args, "mesh", None))
     accum = jnp.zeros((args.height, args.width, 3), jnp.float32)
     n_accum = 0
     env_rgb = baked = None
@@ -226,11 +257,24 @@ def cmd_progressive(args) -> None:
             env_rgb = frame_env_color(scene, cfg) if banded else None
         t0 = time.perf_counter()
         key = jax.random.PRNGKey(args.seed * 31 + i)
-        if banded:
+        rebake = baked is None or i % max(args.bake_every, 1) == 0
+        if mesh is not None and banded:
+            from neuralradiancecaching_tpu.parallel import (
+                dp_train_banded_frame)
+            state, img, mse = dp_train_banded_frame(
+                state, scene, key, cfg, mesh,
+                band_rows=_band_rows(args.width, args.height),
+                env_rgb=env_rgb, baked=None if rebake else baked)
+            if rebake:
+                baked = nrc_mod.bake(state, cfg)
+        elif mesh is not None:
+            from neuralradiancecaching_tpu.parallel import dp_frame_step
+            state, img, mse = dp_frame_step(state, scene, key, cfg, mesh)
+        elif banded:
             from neuralradiancecaching_tpu.render.tiled import render_banded
             k1, k2 = jax.random.split(key)
             state, mse = frame_mod.train_only_step(state, scene, k1, cfg)
-            if baked is None or i % max(args.bake_every, 1) == 0:
+            if rebake:
                 baked = nrc_mod.bake(state, cfg)
             img = render_banded(state, scene, k2, cfg,
                                 band_rows=_band_rows(args.width,
@@ -299,6 +343,8 @@ def main(argv=None) -> None:
     sp.add_argument("--frames", type=int, default=8)
     sp.add_argument("--checkpoint", type=str, default=None)
     sp.add_argument("--resume", type=str, default=None)
+    sp.add_argument("--mesh", type=str, default="off",
+                    help="data-parallel mesh: off | auto (all devices) | N")
     sp.set_defaults(fn=cmd_nrc_online)
 
     sp = sub.add_parser("progressive", help="BASELINE config 5 (1080p)")
@@ -314,6 +360,8 @@ def main(argv=None) -> None:
     sp.add_argument("--sync-every", dest="sync_every", type=int, default=4,
                     help="host sync interval (frames); dispatches pipeline "
                          "K frames ahead between syncs")
+    sp.add_argument("--mesh", type=str, default="off",
+                    help="data-parallel mesh: off | auto (all devices) | N")
     sp.set_defaults(fn=cmd_progressive)
 
     args = p.parse_args(argv)

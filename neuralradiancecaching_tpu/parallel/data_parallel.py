@@ -110,8 +110,8 @@ def dp_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "band_rows"))
 def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
-                     cfg: NRCConfig, mesh, band_rows: int = 54
-                     ) -> jnp.ndarray:
+                     cfg: NRCConfig, mesh, band_rows: int = 54,
+                     env_rgb=None, baked=None) -> jnp.ndarray:
     """Data-parallel banded render: row bands STRIPED over devices (device d
     takes bands d, d+n, d+2n, ...), each device lax.map's over its local
     bands then finishes with a device-local compacted cache query.
@@ -125,6 +125,10 @@ def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     if not cfg.render.use_nn:
         raise ValueError("dp_render_banded is the NN path; use dp_render "
                          "for cache-off frames")
+    if cfg.render.spp != 1:
+        raise ValueError("dp_render_banded renders 1 spp per call; "
+                         "accumulate frames host-side (cli progressive) or "
+                         "use render_banded's in-program spp on one chip")
     h, w = cfg.render.height, cfg.render.width
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     if h % (n_dev * band_rows) != 0:
@@ -139,8 +143,15 @@ def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     ro_s = ro.reshape(n_bands, band_rows * w, 3)[band_of_dev].reshape(-1, 3)
     rd_s = rd.reshape(n_bands, band_rows * w, 3)[band_of_dev].reshape(-1, 3)
     band_ids = jnp.asarray(band_of_dev.reshape(n_dev, -1), jnp.int32)
+    # hoisted per-camera env composite: reorder to stripe order so each
+    # device's shard lines up with its rays (same hoist as single-chip
+    # render_banded; recompute per camera move)
+    env_s = (env_rgb.reshape(n_bands, band_rows * w, 3)[band_of_dev]
+             .reshape(-1, 3) if env_rgb is not None else None)
+    if baked is None:
+        baked = nrc.bake(state, cfg)
 
-    def body(s, sc, k, ro_l, rd_l, ids_l):
+    def body(s, bk, sc, k, ro_l, rd_l, ids_l, env_l):
         bands = ro_l.shape[0] // (band_rows * w)
         ro_b = ro_l.reshape(bands, band_rows * w, 3)
         rd_b = rd_l.reshape(bands, band_rows * w, 3)
@@ -154,24 +165,25 @@ def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
         rgb, trans, qp, qd, qw, ev = jax.lax.map(band,
                                                  (ids_l[0], ro_b, rd_b))
-        baked = nrc.bake(s, cfg)
 
         def query_fn(qpos, qdir):
-            return nrc.query_baked(s, baked, qpos, qdir, cfg)
+            return nrc.query_baked(s, bk, qpos, qdir, cfg)
 
         out = pathtrace.finish_deferred(
             sc, cfg, ro_l, rd_l, rgb.reshape(-1, 3), trans.reshape(-1),
             qp.reshape(-1, 3), qd.reshape(-1, 3), qw.reshape(-1), query_fn,
-            events=ev.reshape((ev.shape[0] * ev.shape[1],) + ev.shape[2:]))
+            events=ev.reshape((ev.shape[0] * ev.shape[1],) + ev.shape[2:]),
+            env_rgb=env_l)
         return out
 
+    env_spec = P(DATA_AXIS) if env_s is not None else P()
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS)),
+        in_specs=(P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), env_spec),
         out_specs=P(DATA_AXIS),
         check_vma=False)
-    rgb = fn(state, scene, key, ro_s, rd_s, band_ids)
+    rgb = fn(state, baked, scene, key, ro_s, rd_s, band_ids, env_s)
     rgb = rgb.reshape(n_bands, band_rows * w, 3)[jnp.asarray(inverse)]
     return rgb.reshape(h, w, 3)
 
@@ -209,3 +221,31 @@ def dp_frame_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
         check_vma=False)
     state, rgb, mse = fn(state, scene, k_train, k_render, tro, trd, rro, rrd)
     return state, rgb.reshape(cfg.render.height, cfg.render.width, 3), mse
+
+
+def dp_train_banded_frame(state: nrc.NRCState, scene: Scene, key: jax.Array,
+                          cfg: NRCConfig, mesh, band_rows: int = 54,
+                          env_rgb=None, baked=None):
+    """The PRODUCTION multi-chip frame (the distributed version of the
+    reference frame loop, src/main.cpp:181-246): sharded train pass ->
+    pmean grads -> replicated optimizer update, then the striped banded
+    render with the updated cache.
+
+    Two device programs per frame, exactly like the single-chip production
+    path (render.tiled.render_banded): one fused program at 1080p exceeds
+    the remote compile helper's size limit, and the split costs ~5 ms.
+    ``env_rgb``/``baked`` are the same per-camera/per-state hoists as the
+    single-chip path; when ``baked`` is None the render re-bakes from the
+    freshly updated state.
+
+    Runs unmodified on a 1-device mesh (today's single chip) and on a
+    v5e-8 (rays/pixels resharded, no code change). Returns
+    (state, image (H, W, 3), mse).
+    """
+    state, mse = dp_train_step(state, scene, key, cfg, mesh)
+    if baked is None:
+        baked = nrc.bake(state, cfg)
+    img = dp_render_banded(state, scene, jax.random.fold_in(key, 0x52454e),
+                           cfg, mesh, band_rows=band_rows, env_rgb=env_rgb,
+                           baked=baked)
+    return state, img, mse

@@ -688,9 +688,13 @@ def render_band_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     Returns (rgb_without_cache, trans, query_pos, query_dir, query_weight,
     events (N, K, 7)); K = 0 when shading already happened in-band.
-    spp must be 1 (banded production rendering accumulates externally).
+
+    Each input ray is traced at ONE sample regardless of cfg.render.spp;
+    banded callers implement spp > 1 by expanding rays into spp virtual
+    copies with distinct band keys and averaging after the global finish
+    (render.tiled._bands_program) -- the in-program multi-spp frame of the
+    reference's TracePathMultiple, nrc-forward.frag:824-834.
     """
-    assert cfg.render.spp == 1, "deferred-query path is spp=1"
     if shade_deferred(cfg):
         res, ev = trace_path_collision(scene, cfg, ro, rd, key, use_nn=True,
                                        collect_events=True)

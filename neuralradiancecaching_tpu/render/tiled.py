@@ -61,9 +61,19 @@ def _finish(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
     # rays recomputed in-program (camera math is trivial; passing 2M-row
     # rays eagerly would cost host dispatches per frame)
     ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
-    return pathtrace.finish_deferred(scene, cfg, ro, rd, rgb, trans,
-                                     q_pos, q_dir, q_w, query_fn, events=ev,
-                                     env_rgb=env_rgb)
+    spp = cfg.render.spp
+    if spp > 1:  # virtual-ray expansion (see _bands_program)
+        ro, rd = jnp.tile(ro, (spp, 1)), jnp.tile(rd, (spp, 1))
+        if env_rgb is not None:
+            env_rgb = jnp.tile(env_rgb, (spp, 1))
+    out = pathtrace.finish_deferred(scene, cfg, ro, rd, rgb, trans,
+                                    q_pos, q_dir, q_w, query_fn, events=ev,
+                                    env_rgb=env_rgb)
+    if spp > 1:
+        # mean over the sample-major copies; the env composite is linear
+        # in trans, so per-copy composite + mean == mean + composite
+        out = out.reshape(spp, -1, 3).mean(axis=0)
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -95,6 +105,9 @@ def render_tiled(state: nrc.NRCState, scene: Scene, key: jax.Array,
                  for y0 in range(h // band_rows)]
         return jnp.concatenate(bands, axis=0).reshape(h, w, 3)
 
+    assert cfg.render.spp == 1, (
+        "render_tiled's NN path is spp=1 (host loop); render_banded "
+        "implements in-program spp via virtual-ray expansion")
     parts = [_band_deferred(scene, jax.random.fold_in(key, y0 * band_rows),
                             rob[y0], rdb[y0], cfg)
              for y0 in range(h // band_rows)]
@@ -125,6 +138,18 @@ def _bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
             return rgb
 
         return jax.lax.map(band_plain, (y0s, ro_b, rd_b))
+
+    if cfg.render.spp > 1:
+        # in-program spp: spp VIRTUAL COPIES of every band with distinct
+        # keys (sample-major); the caller averages after the global finish.
+        # All deferred-record machinery (caps, compaction, event segsum)
+        # is per-lane, so it is unchanged by the expansion; peak deferred
+        # buffers scale by spp (fine at quality-run sizes; 1080p
+        # production keeps spp=1 + host accumulation).
+        s = cfg.render.spp
+        ro_b = jnp.tile(ro_b, (s, 1, 1))
+        rd_b = jnp.tile(rd_b, (s, 1, 1))
+        y0s = jnp.arange(n_bands * s, dtype=jnp.int32) * band_rows
 
     def band(args):
         y0, ro_i, rd_i = args
@@ -227,7 +252,7 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     if baked is None:
         baked = nrc.bake(state, cfg)
     if (cfg.render.live_pack_fraction > 0.0 and pathtrace.shade_deferred(cfg)
-            and not cfg.render.show_non_nn):
+            and not cfg.render.show_non_nn and cfg.render.spp == 1):
         sel, val, rgb_p, trans_p, qp, qd, qw, ev = _packed_bands_program(
             scene, key, cfg, band_rows)
         out = _finish_packed(state, baked, scene, sel, val, rgb_p, trans_p,

@@ -205,3 +205,37 @@ def test_render_banded_matches_tiled():
     a = np.asarray(render_tiled(state, scene, k, cfg, band_rows=4))
     b = np.asarray(render_banded(state, scene, k, cfg, band_rows=4))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_render_banded_in_program_spp():
+    """spp > 1 runs INSIDE the banded program (virtual-ray expansion,
+    reference TracePathMultiple nrc-forward.frag:824-834): finite, right
+    shape, and consistent with the 1-spp estimator's mean within MC
+    tolerance; with the collision sampler so deferred events flow too."""
+    from neuralradiancecaching_tpu.render.tiled import render_banded
+    cfg = tiny_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(cfg.render, width=8, height=8, spp=4),
+        path=dataclasses.replace(cfg.path, sampler="collision",
+                                 collision_field_steps=8),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field"),
+        volume=dataclasses.replace(cfg.volume, field_shape=(4, 4, 4)))
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    img4 = np.asarray(render_banded(state, scene, jax.random.PRNGKey(5),
+                                    cfg, band_rows=4))
+    assert img4.shape == (8, 8, 3)
+    assert np.isfinite(img4).all()
+
+    cfg1 = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, spp=1))
+    acc = np.zeros_like(img4)
+    for i in range(4):
+        acc += np.asarray(render_banded(state, scene,
+                                        jax.random.PRNGKey(50 + i), cfg1,
+                                        band_rows=4))
+    acc /= 4
+    # same estimator, independent keys: means agree within MC noise
+    rel = abs(img4.mean() - acc.mean()) / max(acc.mean(), 1e-6)
+    assert rel < 0.15, (img4.mean(), acc.mean())
