@@ -322,9 +322,26 @@ class PathTraceConfig:
     #                  baked cumulative-tau field (ops/collision.py): ONE
     #                  row gather per scatter event, analytic scatter
     #                  probability 1-exp(-tau) as the branch weight. The
-    #                  delta-tracking-class unbiased estimator the north
-    #                  star asks for, TPU-shaped (no rejection loop).
+    #                  delta-tracking-class estimator the north star asks
+    #                  for, TPU-shaped (no rejection loop); carries
+    #                  nearest-voxel/~11-deg direction-bucket
+    #                  discretization bias (quantified vs 'delta' on the
+    #                  cloud scene: +5.2% mean radiance, 9.4% noise-sub
+    #                  image RMSE -- scripts/profile_delta_bias.py,
+    #                  docs/PERFORMANCE.md r3).
+    #   'delta'     -- TRUE delta tracking (Woodcock null-collision
+    #                  against the global density majorant, exact AABB
+    #                  exit): unbiased free-flight sampling, binary
+    #                  scatter/escape branch. delta_null_steps majorant
+    #                  iterations (= density gathers) per scatter event,
+    #                  so it is the parity/ground-truth sampler, not the
+    #                  perf default.
     sampler: str = "reference"
+    # inner null-collision iterations per scatter event for
+    # sampler='delta'. A walk that exhausts the budget while still inside
+    # the box counts as an escape: P(exhaust) ~ (1 - sigma_mean/
+    # sigma_maj)^delta_null_steps, negligible at 64 for the cloud scene.
+    delta_null_steps: int = 64
     # quadrature steps per (voxel, dir) bucket when baking the collision
     # field's cumulative-tau profile
     collision_field_steps: int = 48

@@ -221,14 +221,50 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
              q_pos=entry, q_dir=rd, last_in=rd,
              q_w=jnp.zeros((n,), dtype=dtype))
 
+    delta = pt.sampler == "delta"
+    n_null = pt.delta_null_steps
+
     def step(s: S, u_step):
         u_rr, u_t, u_hg1, u_hg2 = (u_step[0], u_step[1], u_step[2],
                                    u_step[3])
-        tau, knots = collision.query_collision_rows(scene.coll_field,
-                                                    s.pos, s.dir, vol)
-        p_sc = -jnp.expm1(-tau)
-        alive = ~s.done & (p_sc > 1e-6)
-        t = collision.knots_to_distance(tau, knots, u_t)
+        if delta:
+            # TRUE delta tracking (unbiased): Woodcock null-collision walk
+            # against the global majorant sigma_maj = density_factor *
+            # max(grid) (trilinear interpolation never exceeds the grid
+            # max), exact ray/AABB exit distance, binary scatter/escape.
+            # This replaces the baked-CDF gather with n_null sequential
+            # density gathers -- the parity sampler, not the perf default.
+            sigma_maj = (vol.density_factor
+                         * jnp.max(scene.density_grid).astype(dtype) + 1e-8)
+            _, t_far, _ = volume_ops.ray_aabb(s.pos, s.dir, vol.box_size,
+                                              vol.box_center)
+            u_null = u_step[4:].reshape(n_null, 2, -1)
+
+            def null_step(c, uu):
+                t_c, found = c
+                t2 = t_c - jnp.log1p(-uu[0]) / sigma_maj
+                xi = s.pos + t2[:, None] * s.dir
+                dens = volume_ops.density_at(scene.density, xi, vol)
+                hit_i = (~found & (t2 <= t_far)
+                         & (uu[1] * sigma_maj < dens))
+                return (jnp.where(found, t_c, t2), found | hit_i), None
+
+            (t, found), _ = jax.lax.scan(
+                null_step, (jnp.zeros((n,), dtype),
+                            jnp.zeros((n,), bool)), u_null)
+            alive = ~s.done & found
+            p_sc = jnp.ones((n,), dtype)  # branch already sampled binarily
+            # first-step escape <=> the transmitted-env photon survives:
+            # tau0 = 0 (T0 = 1) on escape, inf (T0 = 0) on collision
+            tau_first = jnp.where(found, jnp.asarray(jnp.inf, dtype),
+                                  jnp.zeros((n,), dtype))
+        else:
+            tau, knots = collision.query_collision_rows(scene.coll_field,
+                                                        s.pos, s.dir, vol)
+            p_sc = -jnp.expm1(-tau)
+            alive = ~s.done & (p_sc > 1e-6)
+            t = collision.knots_to_distance(tau, knots, u_t)
+            tau_first = tau
         # knots are baked from the bucket's voxel center, so a sampled point
         # can overshoot the box by up to a field voxel -- clamp (queries and
         # encodes expect in-box positions)
@@ -263,7 +299,7 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         pos2 = jnp.where(scatter[:, None], x, s.pos)
         done = s.done | terminate | ~alive | die
 
-        tau0 = jnp.where(s.tau0 < 0.0, tau, s.tau0)
+        tau0 = jnp.where(s.tau0 < 0.0, tau_first, s.tau0)
         if use_nn:
             has_q = s.has_q | terminate
             q_pos = jnp.where(terminate[:, None], x, s.q_pos)
@@ -299,20 +335,21 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         live_frac = (cfg.path.coll_nonn_live_fraction
                      if cfg.path.coll_weight_rr > 0.0 else 0.0)
     split = 0 < p1 < k_steps and live_frac > 0.0
+    u_dim = 4 + 2 * n_null if delta else 4
     if not split:
         u_march = jax.random.uniform(jax.random.fold_in(key, 0),
-                                     (k_steps, 4, n), dtype=dtype)
+                                     (k_steps, u_dim, n), dtype=dtype)
         s_fin, ys = jax.lax.scan(step, init, u_march)
     else:
         u1 = jax.random.uniform(jax.random.fold_in(key, 0),
-                                (p1, 4, n), dtype=dtype)
+                                (p1, u_dim, n), dtype=dtype)
         s1, ys1 = jax.lax.scan(step, init, u1)
         m1 = min(n, max(1024, int(n * live_frac)))
         sel, sel_valid = compact.compact_select(~s1.done, m1)
         sub = S(*[jnp.take(x, sel, axis=0) for x in s1])
         sub = sub._replace(done=sub.done | ~sel_valid)  # inert padding
         u2 = jax.random.uniform(jax.random.fold_in(key, 1),
-                                (k_steps - p1, 4, m1), dtype=dtype)
+                                (k_steps - p1, u_dim, m1), dtype=dtype)
         s2, ys2 = jax.lax.scan(step, sub, u2)
         s_fin = S(*[compact.scatter_update(a, sel, sel_valid, b)
                     for a, b in zip(s1, s2)])
@@ -420,7 +457,7 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     ro/rd: (N, 3).
     """
-    if cfg.path.sampler == "collision":
+    if cfg.path.sampler in ("collision", "delta"):
         return trace_path_collision(scene, cfg, ro, rd, key, use_nn,
                                     env_samples, max_bounces)
     vol = cfg.volume
@@ -793,10 +830,11 @@ def finish_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     env_color = (env_rgb if env_rgb is not None
                  else envmap_ops.sample_direct(scene.env, rd, hpm=False))
-    if cfg.path.sampler == "collision":
+    if cfg.path.sampler in ("collision", "delta"):
         # analytic primary see-through: trans is T0 = exp(-tau_0) (1 for
-        # misses), so the env composite is exact instead of the reference's
-        # binary transmittance==1 test
+        # misses; 'delta' samples the same quantity binarily with
+        # E[trans] = T0), so the env composite is exact instead of the
+        # reference's binary transmittance==1 test
         return rgb + trans[:, None] * env_color
     _, _, hit = volume_ops.ray_aabb(ro, rd, cfg.volume.box_size,
                                     cfg.volume.box_center)
@@ -862,7 +900,7 @@ def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     # miss & see-through -> direct env map (frag:848-864); in collision
     # mode the primary escape is analytic: rgb += T0 * env
     env_color = envmap_ops.sample_direct(scene.env, rd, hpm=False)
-    if cfg.path.sampler == "collision":
+    if cfg.path.sampler in ("collision", "delta"):
         rgb = rgb + trans[:, None] * env_color
     else:
         _, _, hit = volume_ops.ray_aabb(ro, rd, cfg.volume.box_size,

@@ -296,3 +296,49 @@ def test_live_pack_matches_unpacked():
         # packed render must be finite and match on non-live rays (pure
         # env there in both)
         np.testing.assert_allclose(a[~live], b[~live], atol=1e-5)
+
+
+def test_delta_sampler_matches_collision_mean():
+    """sampler='delta' (true Woodcock null-collision tracking, unbiased) vs
+    sampler='collision' (baked inverse-CDF field): same scene, same
+    estimator contract, means agree within MC tolerance -- the fixed-seed
+    field-vs-ground-truth bias check (VERDICT r2 item 8). The production
+    bias number on the real cloud is in docs/PERFORMANCE.md."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import pathtrace
+    from neuralradiancecaching_tpu.scene.camera import pixel_rays
+    from tests.test_render_nrc import tiny_config, tiny_scene
+
+    base = tiny_config(use_nn=False)
+    base = dataclasses.replace(
+        base,
+        env_map=dataclasses.replace(base.env_map, in_scatter_mode="field"),
+        volume=dataclasses.replace(base.volume, field_shape=(4, 4, 4)),
+        camera=dataclasses.replace(base.camera, position=(0.0, 0.0, -12.0)))
+
+    def render_mean(sampler, spp):
+        cfg = dataclasses.replace(
+            base, path=dataclasses.replace(
+                base.path, sampler=sampler, collision_field_steps=16,
+                delta_null_steps=32, max_bounces=8))
+        scene = tiny_scene(cfg)
+        ro, rd = pixel_rays(scene.camera, 16, 16)
+        acc = 0.0
+        for i in range(spp):
+            rgb, _ = pathtrace.render_image(scene, cfg, ro, rd,
+                                            jax.random.PRNGKey(100 + i))
+            acc = acc + np.asarray(rgb)
+        assert np.isfinite(acc).all()
+        return acc / spp
+
+    img_c = render_mean("collision", 16)
+    img_d = render_mean("delta", 16)
+    rel = abs(img_c.mean() - img_d.mean()) / max(img_d.mean(), 1e-6)
+    # the two estimators differ only by the baked field's discretization
+    # bias + MC noise at 16 spp
+    assert rel < 0.1, (img_c.mean(), img_d.mean())

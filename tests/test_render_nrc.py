@@ -239,3 +239,24 @@ def test_render_banded_in_program_spp():
     # same estimator, independent keys: means agree within MC noise
     rel = abs(img4.mean() - acc.mean()) / max(acc.mean(), 1e-6)
     assert rel < 0.15, (img4.mean(), acc.mean())
+
+
+def test_live_strength_retune_no_recompile():
+    """Light/env strengths are TRACED scene scalars (the ImGui-slider
+    capability, VolumeData.cpp:116-128 / HdrEnvMap.cpp:259-279): changing
+    them between frames reuses the compiled frame program and changes the
+    image."""
+    from neuralradiancecaching_tpu.render import frame as frame_mod
+    cfg = tiny_config(use_nn=True)
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    state, out0 = frame_mod.frame_step(state, scene, jax.random.PRNGKey(1),
+                                       cfg)
+    n_compiled = frame_mod.frame_step._cache_size()
+    scene2 = scene._replace(env=scene.env._replace(
+        hpm_strength=scene.env.hpm_strength * 3.0,
+        direct_strength=scene.env.direct_strength * 3.0))
+    state, out1 = frame_mod.frame_step(state, scene2, jax.random.PRNGKey(1),
+                                       cfg)
+    assert frame_mod.frame_step._cache_size() == n_compiled
+    assert float(jnp.abs(out1.image - out0.image).max()) > 0.0
