@@ -84,15 +84,17 @@ def main():
     # 0.25 vs the needed 0.20 at the bench scene = ~3 extra 32k chunks)
     cap = min(1.0, float(np.ceil((qfrac * 1.15 + 0.01) / 0.015625)
                          * 0.015625))
-    # ... and the pre-march entry cap from the measured fraction of rays
-    # with any optical depth at their entry point
+    # ... and the live-ray fraction from the FULL-FRAME entry-tau mask --
+    # the mask is deterministic per camera pose (no RNG), so the probed
+    # fraction is exact and any cap >= it is drop-free (ADVICE r2)
     from neuralradiancecaching_tpu.ops import lightfield, volume as vol_ops
-    entry_p, _, _ = vol_ops.entry_exit_points(ro[::stride], rd[::stride],
-                                              cfg.volume.box_size,
-                                              cfg.volume.box_center)
-    tau0 = lightfield.query_tau_field(scene.env_t_field, entry_p,
-                                      rd[::stride], cfg.volume)
-    live_frac = float(np.asarray((tau0 > 1e-4).mean()))
+    entry_p, _, hit_m = vol_ops.entry_exit_points(ro, rd,
+                                                  cfg.volume.box_size,
+                                                  cfg.volume.box_center)
+    tau0 = lightfield.query_tau_field(scene.env_t_field, entry_p, rd,
+                                      cfg.volume)
+    live_frac = float(np.asarray((np.asarray(hit_m)
+                                  & (np.asarray(tau0) > 1e-4)).mean()))
     # NOTE: march_entry_fraction stays at its config default -- the measured
     # A/B found the entry-kill slower at 1080p (see PathTraceConfig); the
     # probe is reported for observability only.
@@ -109,11 +111,13 @@ def main():
                         float(np.ceil((ev_mean * 1.15 + 0.05) / 0.015625)
                               * 0.015625))
     # frame-global live-ray packing: cap from the probed entry-live
-    # fraction (measured A/B: pack 0.3125 vs off = 516 vs 549 ms @1080p)
+    # fraction (measured A/B: pack 0.3125 vs off = 516 vs 549 ms @1080p).
+    # The full-frame probe is exact for this camera pose, so a small
+    # margin + the program's own round-up-to-whole-bands is drop-free.
     pack = 0.0
     if pathtrace.shade_deferred(cfg):
-        pack = min(1.0, float(np.ceil((live_frac * 1.3 + 0.02) / 0.0625)
-                              * 0.0625))
+        pack = min(1.0, float(np.ceil((live_frac * 1.05 + 0.005) / 0.015625)
+                              * 0.015625))
     cfg = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render,
                                         query_cap_fraction=cap,

@@ -457,6 +457,12 @@ class TrainConfig:
     # (sg(pred)^2 + eps), the standard HDR radiance-cache loss -- plain
     # MSE underfits dim regions by their radiance ratio).
     loss: str = "mse"
+    # jitter the train-grid pixel rays each step (continuous vertex
+    # coverage; measured part of the 0.65 -> 0.25 r2 cache-error drop).
+    # False reproduces the reference's FIXED 100x100 grid
+    # (nrc-train.comp:1217) for faithful-repro runs (ADVICE r2); the
+    # reference_exact() preset sets it.
+    jitter_train_grid: bool = True
     # collision-mode vertex selection: trace `vertex_oversample` x n_rays
     # jittered camera rays and COMPACT the real RR-cut vertices into the
     # batch (O(n) pack). Only ~15% of camera rays produce a cut, so
@@ -507,8 +513,11 @@ class RenderConfig:
     # the packed live rays (O(n) cumsum pack, single writeback at the
     # end). Non-live rays are exact analytically: T0=1, pure env. The cap
     # is a fraction of the frame; live rays beyond it render as env
-    # see-through (deterministic, highest pixel indices first) -- keep
-    # >= 2x the probed entry_live_fraction. 0 disables. (The r1 per-band
+    # see-through (deterministic, highest pixel indices first). The live
+    # mask is DETERMINISTIC per camera pose (tau-field gather, no RNG), so
+    # a full-frame probe at the same pose (bench.py) makes any cap >= the
+    # probed fraction exactly drop-free; pad the margin only for camera
+    # motion between probes. 0 disables. (The r1 per-band
     # entry-kill measured NEGATIVE because of argsorts and per-step
     # writebacks; this frame-global form shares one pack across the whole
     # frame and writes back once.)
@@ -609,7 +618,8 @@ def reference_exact(width: int = 800, height: int = 800) -> "NRCConfig":
                              compact_events=0.0),
         env_map=EnvMapConfig(transmittance_mode="quadrature",
                              cdf_fraction=0.0),
-        train=TrainConfig(env_samples=0),
+        train=TrainConfig(env_samples=0, jitter_train_grid=False,
+                          vertex_oversample=1),
         quirks=QuirkFlags(world_space_lerp=True,
                           duplicated_feature_grad=True,
                           raw_oneblob=True,

@@ -121,7 +121,15 @@ def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     devices idle behind the cloud-heavy one; (b) the query-cap fraction per
     device stays near the frame mean (a contiguous cloud block would need
     ~3x the cap). Transients stay band-sized per device, so production
-    frames compile. Returns (H, W, 3)."""
+    frames compile. Returns (H, W, 3).
+
+    Cap semantics on a mesh (ADVICE r2): the shade/query cap fractions
+    apply PER SHARD. Striping keeps per-shard event/query fractions close
+    to the frame mean (that is point (b)), but single-chip-probed caps
+    with thin margins (bench.py's 1.15x) still assume the residual
+    per-shard spread fits the margin; keep the drop-free config defaults
+    (shade 2.0, query 1.0) for multi-chip runs unless per-shard fractions
+    have been probed."""
     if not cfg.render.use_nn:
         raise ValueError("dp_render_banded is the NN path; use dp_render "
                          "for cache-off frames")

@@ -247,13 +247,17 @@ def trace_target_paths(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
 
 def generate_train_batch(scene: Scene, cfg: NRCConfig,
                          key: jax.Array) -> TrainBatch:
-    """Full train-batch generation for one frame: jittered train-grid rays
-    -> RR vertices -> averaged path-traced targets (clamped to
+    """Full train-batch generation for one frame: (jittered) train-grid
+    rays -> RR vertices -> averaged path-traced targets (clamped to
     target_clamp, nrc-train.comp:987). Pixel jitter makes the vertex
-    coverage continuous across steps (see camera.pixel_rays)."""
+    coverage continuous across steps (see camera.pixel_rays);
+    TrainConfig.jitter_train_grid=False reproduces the reference's fixed
+    100x100 grid (nrc-train.comp:1217)."""
     k_j, key = jax.random.split(key)
     ro, rd = pixel_rays(scene.camera, cfg.train.train_width,
-                        cfg.train.train_height, jitter_key=k_j)
+                        cfg.train.train_height,
+                        jitter_key=k_j if cfg.train.jitter_train_grid
+                        else None)
     return generate_train_batch_for_rays(scene, cfg, key, ro, rd)
 
 
@@ -338,7 +342,14 @@ def _collision_train_batch(scene: Scene, cfg: NRCConfig, k_v: jax.Array,
                                              k_w, use_nn=True,
                                              env_samples=0)
         has = res.query_weight > 0.0
-        sel, val = compact.compact_select(has, n)
+        # permute lanes before the stable pack: compact_select keeps the
+        # FIRST n marked lanes, and the last partially-consumed jitter set
+        # would otherwise contribute only top-of-frame cuts (ADVICE r2) --
+        # permuted, the kept cuts are a uniform subsample of all cuts
+        perm = jax.random.permutation(jax.random.fold_in(k_w, 1),
+                                      ro_all.shape[0])
+        sel_p, val = compact.compact_select(jnp.take(has, perm), n)
+        sel = jnp.take(perm, sel_p)
         pos = jnp.take(res.query_pos, sel, axis=0)
         d = jnp.take(res.query_dir, sel, axis=0)
         # not enough cuts: fall back to (entry, inward) on padding lanes
