@@ -36,7 +36,9 @@ def main():
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    frames = int(os.environ.get("BENCH_FRAMES", 5))
+    # 10 pipelined frames ~ 1.1 s of device time at the current record --
+    # enough to amortize dispatch rampup and keep run-to-run noise < ~2%
+    frames = int(os.environ.get("BENCH_FRAMES", 10))
     spp = int(os.environ.get("BENCH_SPP", 1))
     # banded rendering keeps per-band transients bounded; 0 = whole frame.
     # Measured sweep @1080p (scripts/profile_bands.py): 54-row bands
