@@ -119,3 +119,51 @@ def test_reference_exact_preset():
     assert cfg.env_map.transmittance_mode == "quadrature"
     assert cfg.train.env_samples == 0
     assert cfg.path.compact_events == 0.0
+
+
+def test_checkpoint_roundtrip_adam_state(tmp_path):
+    """Adam optimizer state (second moments, hash moments, step counter)
+    survives the checkpoint format; a momentum-SGD template refuses an
+    Adam checkpoint (different tree)."""
+    import dataclasses
+
+    import pytest
+
+    from neuralradiancecaching_tpu.models import nrc
+    from tests.test_render_nrc import tiny_config
+
+    cfg = tiny_config()
+    acfg = dataclasses.replace(
+        cfg,
+        mlp_opt=dataclasses.replace(cfg.mlp_opt, kind="adam", beta1=0.9),
+        mrhe=dataclasses.replace(cfg.mrhe, optimizer="adam"))
+    state = nrc.init_state(jax.random.PRNGKey(0), acfg)
+    # one real step so moments/counter are nonzero
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-4,
+                             maxval=4)
+    d = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tgt = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (64, 3)))
+    state, _ = nrc.train_step(state, pos, d, tgt, acfg)
+
+    path = str(tmp_path / "ckpt_adam")
+    checkpoint.save(path, state, metadata={
+        "config_hash": checkpoint.config_hash(acfg)})
+    state2 = checkpoint.load(path, state)
+    assert int(state2.opt_step) == 1
+    np.testing.assert_array_equal(np.asarray(state.hash_second),
+                                  np.asarray(state2.hash_second))
+    np.testing.assert_array_equal(np.asarray(state.mlp_second["w0"]),
+                                  np.asarray(state2.mlp_second["w0"]))
+
+    # warm-start semantics: an SGD-template load takes the shared leaves
+    # (params) and drops the Adam moments -- config mismatch is guarded by
+    # expect_config_hash, not the tree shape
+    sgd_state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    state3 = checkpoint.load(path, sgd_state)
+    np.testing.assert_array_equal(np.asarray(state.mlp_params["w0"]),
+                                  np.asarray(state3.mlp_params["w0"]))
+    assert state3.mlp_second is None
+    with pytest.raises(ValueError):
+        checkpoint.load(path, sgd_state,
+                        expect_config_hash=checkpoint.config_hash(cfg))
