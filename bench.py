@@ -213,12 +213,16 @@ def main():
                                          jax.random.PRNGKey(499), cfg)
     np.asarray(mse)
     t0 = time.perf_counter()
-    ts = 5
+    ts = 10
     for i in range(ts):
         st2, mse = frame_mod.train_only_step(st2, scene,
                                              jax.random.PRNGKey(500 + i),
                                              cfg)
-        np.asarray(mse)
+    # pipelined like the production loop: the steps chain through `st2`
+    # so device execution is already serial; one hard sync at the end
+    # avoids paying the ~25 ms axon tunnel round trip per step (see
+    # docs/PERFORMANCE.md timing methodology)
+    np.asarray(mse)
     train_dt = (time.perf_counter() - t0) / ts
     result["train_step_ms"] = round(train_dt * 1000, 1)
     result["train_steps_per_s"] = round(1.0 / train_dt, 2)
