@@ -130,6 +130,11 @@ def cmd_pathtrace(args) -> None:
     cfg = cfg_mod.pathtrace_config(args.width, args.height, args.spp)
     cfg = dataclasses.replace(cfg, camera=dataclasses.replace(
         cfg.camera, aspect=args.width / args.height))
+    if args.sampler != cfg.path.sampler:
+        # 'collision' = baked-field perf sampler; 'delta' = unbiased
+        # Woodcock ground truth; 'reference' = the upstream march
+        cfg = dataclasses.replace(cfg, path=dataclasses.replace(
+            cfg.path, sampler=args.sampler))
     scene = _build_scene(cfg)
     state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
     t0 = time.perf_counter()
@@ -334,6 +339,11 @@ def main(argv=None) -> None:
     sp.add_argument("--width", type=int, default=800)
     sp.add_argument("--height", type=int, default=800)
     sp.add_argument("--spp", type=int, default=1)
+    sp.add_argument("--sampler", type=str, default="reference",
+                    choices=["reference", "collision", "delta"],
+                    help="distance sampler: reference march, baked "
+                         "collision field (fast), or unbiased delta "
+                         "tracking (ground truth)")
     sp.set_defaults(fn=cmd_pathtrace)
 
     sp = sub.add_parser("nrc-online", help="BASELINE config 4")

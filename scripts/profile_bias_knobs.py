@@ -1,9 +1,12 @@
-"""Quantify the baked collision-field's discretization bias end-to-end:
-fixed-seed cache-off renders of the real cloud with sampler='collision'
-(baked inverse-CDF field, nearest-voxel + ~11-deg direction buckets) vs
-sampler='delta' (true Woodcock null-collision tracking, unbiased), plus the
-twin-pair noise floor so the reported delta is attributable (VERDICT r2
-item 8)."""
+"""Localize the collision-field bias (+5.2% vs delta, r3): is it the
+~11-deg direction buckets (N_THETA x N_PHI = 16x32) or the 4-knot
+piecewise-linear CDF inversion? Patches the module-level bake constants
+BEFORE any trace (they are read at trace time) and reruns the
+delta-vs-collision protocol of profile_delta_bias.py.
+
+Env: KNOB=dirs2x doubles direction buckets; KNOB=knots8 doubles CDF knots;
+KNOB=base reproduces the shipped config.
+"""
 
 import dataclasses
 import os
@@ -19,17 +22,25 @@ from neuralradiancecaching_tpu.utils import setup_cache
 
 setup_cache()
 
+from neuralradiancecaching_tpu.ops import collision, lightfield
+
+KNOB = os.environ.get("KNOB", "dirs2x")
+if KNOB == "dirs2x":
+    lightfield.N_THETA, lightfield.N_PHI = 32, 64
+    collision.N_THETA, collision.N_PHI = 32, 64
+elif KNOB == "knots8":
+    collision.N_KNOTS = 8
+    collision.ROW_WIDTH = 4 + 8
+elif KNOB != "base":
+    raise SystemExit(f"unknown KNOB {KNOB}")
+
 from neuralradiancecaching_tpu import config as cfg_mod
 from neuralradiancecaching_tpu.io import assets
-from neuralradiancecaching_tpu.render import frame as frame_mod
 from neuralradiancecaching_tpu.models import nrc
+from neuralradiancecaching_tpu.render import frame as frame_mod
 from neuralradiancecaching_tpu.scene.scene import make_scene
 
-SIDE = int(os.environ.get("BIAS_SIZE", 256))
-SPP = int(os.environ.get("BIAS_SPP", 64))
-# collision-field voxel resolution under test (the bias knob)
-FIELD = tuple(int(v) for v in
-              os.environ.get("BIAS_FIELD", "32,24,40").split(","))
+SIDE, SPP = 256, 64
 
 
 def accum(cfg, scene, st, spp, key0):
@@ -49,13 +60,11 @@ def main():
         render=dataclasses.replace(base.render, width=SIDE, height=SIDE,
                                    use_nn=False))
     density, env = assets.load_cloud(), assets.load_env_map()
-
     imgs = {}
     for sampler in ("collision", "delta"):
         cfg = dataclasses.replace(
             base, path=dataclasses.replace(base.path, sampler=sampler,
-                                           max_bounces=16),
-            volume=dataclasses.replace(base.volume, field_shape=FIELD))
+                                           max_bounces=16))
         scene = make_scene(cfg, density, env)
         np.asarray(scene.coll_field.sum())
         st = nrc.init_state(jax.random.PRNGKey(0), cfg)
@@ -63,22 +72,19 @@ def main():
         a = accum(cfg, scene, st, SPP, 1000)
         b = accum(cfg, scene, st, SPP, 9000)
         print(f"{sampler:10s} mean={a.mean():.5f}/{b.mean():.5f} "
-              f"({time.perf_counter()-t0:.0f}s for 2x{SPP} spp)",
-              flush=True)
+              f"({time.perf_counter()-t0:.0f}s)", flush=True)
         imgs[sampler] = (a, b)
 
     ca, cb = imgs["collision"]
     da, db = imgs["delta"]
-    var_c = float(np.mean((ca - cb) ** 2)) / 2
-    var_d = float(np.mean((da - db) ** 2)) / 2
+    var = (float(np.mean((ca - cb) ** 2)) + float(np.mean((da - db) ** 2))) / 4
     c_bar, d_bar = (ca + cb) / 2, (da + db) / 2
     ms = float(np.mean((c_bar - d_bar) ** 2))
     rms = float(np.sqrt(np.mean(d_bar ** 2)))
-    bias = float(np.sqrt(max(ms - (var_c + var_d) / 2, 0.0))) / rms
-    mean_delta = (c_bar.mean() - d_bar.mean()) / d_bar.mean()
-    print(f"field {FIELD} baked-field bias: rel_rmse(noise-sub)={bias:.5f} "
-          f"mean_delta={mean_delta:+.5f} "
-          f"noise_floor={np.sqrt((var_c+var_d)/2)/rms:.5f}")
+    bias = float(np.sqrt(max(ms - var, 0.0))) / rms
+    print(f"KNOB={KNOB}: bias rel_rmse={bias:.5f} "
+          f"mean_delta={(c_bar.mean()-d_bar.mean())/d_bar.mean():+.5f} "
+          f"floor={np.sqrt(var)/rms:.5f}")
 
 
 if __name__ == "__main__":
