@@ -294,15 +294,9 @@ def quality_metrics(cfg, scene, state):
     img_ref2 = accum(ref_cfg, spp_ref, 7000)
     rel = relative_rmse(img_nn, img_ref)
 
-    nn_bar = (img_nn + img_nn2) / 2
-    ref_bar = (img_ref + img_ref2) / 2
-    var_nn = float(np.mean((img_nn - img_nn2) ** 2)) / 2
-    var_ref = float(np.mean((img_ref - img_ref2) ** 2)) / 2
-    ms_delta = float(np.mean((nn_bar - ref_bar) ** 2))
-    noise_floor_ms = (var_nn + var_ref) / 2
-    rms_ref = float(np.sqrt(np.mean(ref_bar ** 2)))
-    bias_rel = float(np.sqrt(max(ms_delta - noise_floor_ms, 0.0))) / rms_ref
-    floor_rel = float(np.sqrt(noise_floor_ms)) / rms_ref
+    from neuralradiancecaching_tpu.utils.metrics import noise_subtracted_bias
+    bias_rel, floor_rel = noise_subtracted_bias(img_nn, img_nn2,
+                                                img_ref, img_ref2)
 
     # cap bias A/B (same single key; shading deterministic in field mode)
     uncapped = dataclasses.replace(

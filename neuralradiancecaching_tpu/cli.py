@@ -80,13 +80,18 @@ def _build_scene(cfg):
     return make_scene(cfg, assets.load_cloud(), assets.load_env_map())
 
 
-def _band_rows(width: int, height: int) -> int | None:
+def _band_rows(width: int, height: int, n_dev: int = 1) -> int | None:
     """Band height for tiled rendering of large frames. 54-row bands
-    measured fastest at 1080p (scripts/profile_bands.py)."""
+    measured fastest at 1080p (scripts/profile_bands.py; 27 and 135 within
+    1%, so mesh-divisibility constraints cost little).
+
+    With a mesh, dp_render_banded stripes whole bands across devices and
+    requires height % (n_dev * rows) == 0 -- candidates are filtered
+    accordingly (1080p/8 devices -> 27-row bands; 800px/8 -> 25)."""
     if width * height <= 512 * 512:
         return None
-    for rows in (54, 108, 64, 32, 16):
-        if height % rows == 0:
+    for rows in (54, 108, 64, 32, 27, 25, 20, 16, 10, 9, 8, 5, 4, 3, 2, 1):
+        if height % (n_dev * rows) == 0:
             return rows
     return None
 
@@ -164,17 +169,18 @@ def cmd_nrc_online(args) -> None:
 
     log = MetricsLogger(args.metrics)
     img = None
-    big = _band_rows(args.width, args.height) is not None
     mesh = _mesh_from_arg(getattr(args, "mesh", None))
+    n_dev = mesh.devices.size if mesh is not None else 1
+    band = _band_rows(args.width, args.height, n_dev)
+    big = band is not None
     for i in range(args.frames):
         t0 = time.perf_counter()
         key = jax.random.PRNGKey(args.seed * 7919 + i)
         if mesh is not None and big:
             from neuralradiancecaching_tpu.parallel import (
                 dp_train_banded_frame)
-            state, out_img, mse = dp_train_banded_frame(
-                state, scene, key, cfg, mesh,
-                band_rows=_band_rows(args.width, args.height))
+            state, out_img, mse, _ = dp_train_banded_frame(
+                state, scene, key, cfg, mesh, band_rows=band)
             img = np.asarray(out_img)
             out_mse = float(np.asarray(mse))
         elif mesh is not None:
@@ -243,11 +249,14 @@ def cmd_progressive(args) -> None:
     from neuralradiancecaching_tpu.models import nrc as nrc_mod
     from neuralradiancecaching_tpu.render.tiled import frame_env_color
 
-    banded = _band_rows(args.width, args.height) is not None
     mesh = _mesh_from_arg(getattr(args, "mesh", None))
+    n_dev = mesh.devices.size if mesh is not None else 1
+    band = _band_rows(args.width, args.height, n_dev)
+    banded = band is not None
     accum = jnp.zeros((args.height, args.width, 3), jnp.float32)
     n_accum = 0
     env_rgb = baked = None
+    win_t0, win_i = time.perf_counter(), 0
     for i in range(args.frames):
         cam_step = i // args.move_every
         if i % args.move_every == 0:
@@ -260,18 +269,16 @@ def cmd_progressive(args) -> None:
             accum = jnp.zeros_like(accum)
             n_accum = 0
             env_rgb = frame_env_color(scene, cfg) if banded else None
-        t0 = time.perf_counter()
         key = jax.random.PRNGKey(args.seed * 31 + i)
         rebake = baked is None or i % max(args.bake_every, 1) == 0
         if mesh is not None and banded:
             from neuralradiancecaching_tpu.parallel import (
                 dp_train_banded_frame)
-            state, img, mse = dp_train_banded_frame(
-                state, scene, key, cfg, mesh,
-                band_rows=_band_rows(args.width, args.height),
+            state, img, mse, baked2 = dp_train_banded_frame(
+                state, scene, key, cfg, mesh, band_rows=band,
                 env_rgb=env_rgb, baked=None if rebake else baked)
             if rebake:
-                baked = nrc_mod.bake(state, cfg)
+                baked = baked2
         elif mesh is not None:
             from neuralradiancecaching_tpu.parallel import dp_frame_step
             state, img, mse = dp_frame_step(state, scene, key, cfg, mesh)
@@ -281,23 +288,27 @@ def cmd_progressive(args) -> None:
             state, mse = frame_mod.train_only_step(state, scene, k1, cfg)
             if rebake:
                 baked = nrc_mod.bake(state, cfg)
-            img = render_banded(state, scene, k2, cfg,
-                                band_rows=_band_rows(args.width,
-                                                     args.height),
+            img = render_banded(state, scene, k2, cfg, band_rows=band,
                                 env_rgb=env_rgb, baked=baked)
         else:
             state, out = frame_mod.frame_step(state, scene, key, cfg)
             img, mse = out.image, out.mse
         accum = accum + img.reshape(accum.shape)
         n_accum += 1
+        # metrics land once per sync window: between syncs the host only
+        # DISPATCHES (device still busy), so a per-frame wall clock would
+        # report dispatch latency as throughput; the window average over
+        # the hard sync is the true rate
         sync = (i % max(args.sync_every, 1) == args.sync_every - 1
                 or i == args.frames - 1)
-        mse_f = float(np.asarray(mse)) if sync else float("nan")
-        dt = time.perf_counter() - t0
-        log.log(i, mse=mse_f, frame_s=round(dt, 3),
-                mrays_s=round(args.width * args.height / dt / 1e6, 4))
         if sync:
-            print(f"frame {i}: {dt:.2f}s mse={mse_f:.5f}")
+            mse_f = float(np.asarray(mse))
+            frames_w = i + 1 - win_i
+            dt_w = (time.perf_counter() - win_t0) / frames_w
+            log.log(i, mse=mse_f, frame_s=round(dt_w, 3), frames=frames_w,
+                    mrays_s=round(args.width * args.height / dt_w / 1e6, 4))
+            print(f"frame {i}: {dt_w:.2f}s/frame mse={mse_f:.5f}")
+            win_t0, win_i = time.perf_counter(), i + 1
     _save_frame(args.out, "progressive", np.asarray(accum / n_accum))
 
 

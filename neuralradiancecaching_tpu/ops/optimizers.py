@@ -98,13 +98,16 @@ def adam_step(
 
     def leaf(w, m_i, v_i, g):
         g = -guards.guard_delta(-g, cfg.clip_border)  # NaN->0, clip
+        # sparse-row test on the RAW batch gradient: weight decay applies
+        # only to rows the batch touched, else decay would mark every row
+        # 'touched' and silently disable the sparse semantics
+        touched = g != 0.0
         g = g + cfg.weight_decay * w
         m_new = b1 * m_i + (1.0 - b1) * g
         v_new = b2 * v_i + (1.0 - b2) * g * g
         upd = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + cfg.eps)
         w_new = w - cfg.learning_rate * upd
         if skip_zero_grad:
-            touched = g != 0.0
             m_new = jnp.where(touched, m_new, m_i)
             v_new = jnp.where(touched, v_new, v_i)
             w_new = jnp.where(touched, w_new, w)

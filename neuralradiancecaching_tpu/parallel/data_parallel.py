@@ -36,11 +36,14 @@ def _device_key(key: jax.Array) -> jax.Array:
 
 def _local_train_grads(state: nrc.NRCState, scene: Scene, key: jax.Array,
                        cfg: NRCConfig, ro, rd):
-    """Per-device: vertex selection + targets + grads on the local ray
-    shard (same batched tracer as the single-chip path), then cross-device
-    mean."""
+    """Per-device: vertex selection + targets + grads on the local shard
+    of the train_ray_pool (same batched tracer and the same POOL as the
+    single-chip path -- pool construction happens before sharding, so the
+    oversample copies and grid jitter are sharded, not rebuilt per
+    device), then cross-device mean."""
     batch = targets.generate_train_batch_for_rays(scene, cfg,
-                                                  _device_key(key), ro, rd)
+                                                  _device_key(key), ro, rd,
+                                                  expanded=True)
     grads, mse = nrc.compute_grads(state, batch.pos, batch.dir, batch.target,
                                    cfg)
     grads = jax.lax.pmean(grads, DATA_AXIS)
@@ -74,11 +77,13 @@ def _check_divisible(mesh, *counts) -> None:
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
 def dp_train_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
                   cfg: NRCConfig, mesh) -> Tuple[nrc.NRCState, jnp.ndarray]:
-    """Data-parallel online training pass (train grid sharded over rays)."""
+    """Data-parallel online training pass: the full train_ray_pool
+    (jittered grid x vertex_oversample copies) is built once and SHARDED
+    over devices; each device compacts its share of RR-cut vertices and
+    the gradients pmean across the mesh."""
     _check_divisible(mesh, cfg.train.n_rays)
-    ro, rd = pixel_rays(
-        jax.tree_util.tree_map(jnp.asarray, scene.camera),
-        cfg.train.train_width, cfg.train.train_height)
+    k_pool, key = jax.random.split(key)
+    ro, rd = targets.train_ray_pool(scene, cfg, k_pool)
 
     def body(state, scene, key, ro, rd):
         grads, mse = _local_train_grads(state, scene, key, cfg, ro, rd)
@@ -207,9 +212,8 @@ def dp_frame_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
     """
     _check_divisible(mesh, cfg.train.n_rays,
                      cfg.render.width * cfg.render.height)
-    k_train, k_render = jax.random.split(key)
-    tro, trd = pixel_rays(scene.camera, cfg.train.train_width,
-                          cfg.train.train_height)
+    k_pool, k_train, k_render = jax.random.split(key, 3)
+    tro, trd = targets.train_ray_pool(scene, cfg, k_pool)
     rro, rrd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
 
     def body(state, scene, kt, kr, tro, trd, rro, rrd):
@@ -248,7 +252,8 @@ def dp_train_banded_frame(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
     Runs unmodified on a 1-device mesh (today's single chip) and on a
     v5e-8 (rays/pixels resharded, no code change). Returns
-    (state, image (H, W, 3), mse).
+    (state, image (H, W, 3), mse, baked) -- `baked` so amortizing callers
+    (cli --bake-every) can reuse the in-step bake instead of re-baking.
     """
     state, mse = dp_train_step(state, scene, key, cfg, mesh)
     if baked is None:
@@ -256,4 +261,4 @@ def dp_train_banded_frame(state: nrc.NRCState, scene: Scene, key: jax.Array,
     img = dp_render_banded(state, scene, jax.random.fold_in(key, 0x52454e),
                            cfg, mesh, band_rows=band_rows, env_rgb=env_rgb,
                            baked=baked)
-    return state, img, mse
+    return state, img, mse, baked

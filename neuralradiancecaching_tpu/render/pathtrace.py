@@ -234,6 +234,8 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             # max), exact ray/AABB exit distance, binary scatter/escape.
             # This replaces the baked-CDF gather with n_null sequential
             # density gathers -- the parity sampler, not the perf default.
+            # Reference baseline being improved on: the quadrature
+            # free-flight march of nrc-train.comp:1032-1053,1164-1167.
             sigma_maj = (vol.density_factor
                          * jnp.max(scene.density_grid).astype(dtype) + 1e-8)
             _, t_far, _ = volume_ops.ray_aabb(s.pos, s.dir, vol.box_size,

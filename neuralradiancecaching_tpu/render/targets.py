@@ -254,18 +254,51 @@ def generate_train_batch(scene: Scene, cfg: NRCConfig,
     TrainConfig.jitter_train_grid=False reproduces the reference's fixed
     100x100 grid (nrc-train.comp:1217)."""
     k_j, key = jax.random.split(key)
-    ro, rd = pixel_rays(scene.camera, cfg.train.train_width,
-                        cfg.train.train_height,
-                        jitter_key=k_j if cfg.train.jitter_train_grid
-                        else None)
-    return generate_train_batch_for_rays(scene, cfg, key, ro, rd)
+    ro, rd = train_ray_pool(scene, cfg, k_j)
+    return generate_train_batch_for_rays(scene, cfg, key, ro, rd,
+                                         expanded=True)
+
+
+def train_ray_pool(scene: Scene, cfg: NRCConfig, key: jax.Array
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The full camera-ray pool for ONE train step: the (jittered) train
+    grid, stacked `vertex_oversample` times with independent jitters in
+    collision mode (the oversampled RR-cut vertex source).
+
+    Ray-pool construction lives HERE -- before any sharding -- so the
+    data-parallel path shards the SAME pool a single chip consumes
+    (`dp_train_step` splits it across devices; previously each device
+    rebuilt full oversample grids from inside its shard, duplicating
+    ~(over-1)x the walk work per device and decoupling the batch from the
+    shard). Copy 0 honors TrainConfig.jitter_train_grid; the extra
+    oversample copies are always jittered (they exist to diversify cut
+    positions)."""
+    tw, th = cfg.train.train_width, cfg.train.train_height
+    over = (max(1, cfg.train.vertex_oversample)
+            if cfg.path.sampler == "collision" else 1)
+    ros, rds = [], []
+    for i in range(over):
+        jk = (jax.random.fold_in(key, i)
+              if (i > 0 or cfg.train.jitter_train_grid) else None)
+        r_o, r_d = pixel_rays(scene.camera, tw, th, jitter_key=jk)
+        ros.append(r_o)
+        rds.append(r_d)
+    if over == 1:
+        return ros[0], rds[0]
+    return jnp.concatenate(ros), jnp.concatenate(rds)
 
 
 def generate_train_batch_for_rays(scene: Scene, cfg: NRCConfig,
                                   key: jax.Array, ro: jnp.ndarray,
-                                  rd: jnp.ndarray) -> TrainBatch:
+                                  rd: jnp.ndarray,
+                                  expanded: bool = False) -> TrainBatch:
     """Train batch for an explicit ray set (the data-parallel path passes
-    each device's shard).
+    each device's shard of :func:`train_ray_pool`).
+
+    expanded: the rays already contain the vertex_oversample copies
+    (train_ray_pool layout); the returned batch has
+    ``ro.shape[0] // vertex_oversample`` rows. False treats the rays as a
+    plain grid and tiles THEM for oversampling (no extra pixel jitter).
 
     The `target_samples` estimates run as ONE batched walk of
     (target_samples * n_rays) rays -- bigger batches amortize the
@@ -273,7 +306,8 @@ def generate_train_batch_for_rays(scene: Scene, cfg: NRCConfig,
     sample loop (nrc-train.comp:1217-1223) translated literally."""
     k_v, k_t = jax.random.split(key)
     if cfg.path.sampler == "collision":
-        return _collision_train_batch(scene, cfg, k_v, k_t, ro, rd)
+        return _collision_train_batch(scene, cfg, k_v, k_t, ro, rd,
+                                      expanded)
     pos, d = choose_train_vertices(scene, cfg, ro, rd, k_v)
 
     s_count = cfg.train.target_samples
@@ -314,30 +348,26 @@ def cache_targets_collision(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
 
 
 def _collision_train_batch(scene: Scene, cfg: NRCConfig, k_v: jax.Array,
-                           k_t: jax.Array, ro: jnp.ndarray, rd: jnp.ndarray
-                           ) -> TrainBatch:
+                           k_t: jax.Array, ro: jnp.ndarray, rd: jnp.ndarray,
+                           expanded: bool = False) -> TrainBatch:
     """Collision-mode train batch (see cache_targets_collision).
 
     With vertex_oversample > 1 the batch is filled with REAL RR-cut
-    vertices compacted from an oversampled jittered ray set, so every
-    gradient sample lies on the distribution the render actually queries
-    (TrainConfig.vertex_oversample)."""
-    n = ro.shape[0]
+    vertices compacted from an oversampled jittered ray set
+    (train_ray_pool when ``expanded``; a tiling of the given rays
+    otherwise), so every gradient sample lies on the distribution the
+    render actually queries (TrainConfig.vertex_oversample)."""
     over = max(1, cfg.train.vertex_oversample)
+    n = ro.shape[0] // over if expanded else ro.shape[0]
     if over > 1:
         from neuralradiancecaching_tpu.ops import compact
-        from neuralradiancecaching_tpu.scene.camera import pixel_rays
 
-        k_j, k_w = jax.random.split(k_v)
-        ros, rds = [ro], [rd]
-        for i in range(over - 1):
-            r_o, r_d = pixel_rays(scene.camera, cfg.train.train_width,
-                                  cfg.train.train_height,
-                                  jitter_key=jax.random.fold_in(k_j, i))
-            ros.append(r_o)
-            rds.append(r_d)
-        ro_all = jnp.concatenate(ros)
-        rd_all = jnp.concatenate(rds)
+        k_w = k_v
+        if expanded:
+            ro_all, rd_all = ro, rd
+        else:
+            ro_all = jnp.tile(ro, (over, 1))
+            rd_all = jnp.tile(rd, (over, 1))
         res = pathtrace.trace_path_collision(scene, cfg, ro_all, rd_all,
                                              k_w, use_nn=True,
                                              env_samples=0)
@@ -354,7 +384,8 @@ def _collision_train_batch(scene: Scene, cfg: NRCConfig, k_v: jax.Array,
         d = jnp.take(res.query_dir, sel, axis=0)
         # not enough cuts: fall back to (entry, inward) on padding lanes
         entry, _, hit = volume_ops.entry_exit_points(
-            ro, rd, cfg.volume.box_size, cfg.volume.box_center)
+            ro_all[:n], rd_all[:n], cfg.volume.box_size,
+            cfg.volume.box_center)
         fb_dir = -entry / jnp.maximum(
             jnp.linalg.norm(entry, axis=-1, keepdims=True), 1e-8)
         pos = jnp.where(val[:, None], pos, entry)

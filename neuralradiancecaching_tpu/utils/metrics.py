@@ -73,3 +73,34 @@ def psnr(a: np.ndarray, ref: np.ndarray, peak: float | None = None) -> float:
         peak = max(float(ref.max()), 1.0)
     mse = np.mean((np.asarray(a, np.float64) - ref) ** 2)
     return float(10.0 * np.log10(peak * peak / max(mse, 1e-12)))
+
+
+def noise_subtracted_bias(a1: np.ndarray, a2: np.ndarray,
+                          r1: np.ndarray, r2: np.ndarray
+                          ) -> tuple[float, float]:
+    """Twin-pair noise-floor-subtracted relative RMSE between estimator A
+    and reference estimator R (the bench's north-star quality protocol,
+    VERDICT r2 item 5).
+
+    a1/a2 and r1/r2 are independent same-settings renders (disjoint RNG).
+    For Abar = (a1+a2)/2 etc.,
+
+        E mean((Abar - Rbar)^2) = bias^2 + (s_A^2 + s_R^2)/2
+
+    with the per-image variances s^2 estimated from the twins
+    (E mean((x1-x2)^2) = 2 s^2), so the subtraction estimates bias^2
+    unbiasedly; averaging over all pixels makes the estimator noise
+    negligible. Returns (bias_rel, floor_rel), both relative to
+    rms(Rbar).
+    """
+    a1, a2 = np.asarray(a1, np.float64), np.asarray(a2, np.float64)
+    r1, r2 = np.asarray(r1, np.float64), np.asarray(r2, np.float64)
+    var_a = float(np.mean((a1 - a2) ** 2)) / 2
+    var_r = float(np.mean((r1 - r2) ** 2)) / 2
+    a_bar, r_bar = (a1 + a2) / 2, (r1 + r2) / 2
+    ms = float(np.mean((a_bar - r_bar) ** 2))
+    floor_ms = (var_a + var_r) / 2
+    rms = max(float(np.sqrt(np.mean(r_bar ** 2))), 1e-12)
+    bias_rel = float(np.sqrt(max(ms - floor_ms, 0.0))) / rms
+    floor_rel = float(np.sqrt(floor_ms)) / rms
+    return bias_rel, floor_rel

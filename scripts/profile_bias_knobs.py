@@ -75,16 +75,14 @@ def main():
               f"({time.perf_counter()-t0:.0f}s)", flush=True)
         imgs[sampler] = (a, b)
 
+    from neuralradiancecaching_tpu.utils.metrics import noise_subtracted_bias
     ca, cb = imgs["collision"]
     da, db = imgs["delta"]
-    var = (float(np.mean((ca - cb) ** 2)) + float(np.mean((da - db) ** 2))) / 4
+    bias, floor = noise_subtracted_bias(ca, cb, da, db)
     c_bar, d_bar = (ca + cb) / 2, (da + db) / 2
-    ms = float(np.mean((c_bar - d_bar) ** 2))
-    rms = float(np.sqrt(np.mean(d_bar ** 2)))
-    bias = float(np.sqrt(max(ms - var, 0.0))) / rms
     print(f"KNOB={KNOB}: bias rel_rmse={bias:.5f} "
           f"mean_delta={(c_bar.mean()-d_bar.mean())/d_bar.mean():+.5f} "
-          f"floor={np.sqrt(var)/rms:.5f}")
+          f"floor={floor:.5f}")
 
 
 if __name__ == "__main__":

@@ -67,18 +67,14 @@ def main():
               flush=True)
         imgs[sampler] = (a, b)
 
+    from neuralradiancecaching_tpu.utils.metrics import noise_subtracted_bias
     ca, cb = imgs["collision"]
     da, db = imgs["delta"]
-    var_c = float(np.mean((ca - cb) ** 2)) / 2
-    var_d = float(np.mean((da - db) ** 2)) / 2
+    bias, floor = noise_subtracted_bias(ca, cb, da, db)
     c_bar, d_bar = (ca + cb) / 2, (da + db) / 2
-    ms = float(np.mean((c_bar - d_bar) ** 2))
-    rms = float(np.sqrt(np.mean(d_bar ** 2)))
-    bias = float(np.sqrt(max(ms - (var_c + var_d) / 2, 0.0))) / rms
     mean_delta = (c_bar.mean() - d_bar.mean()) / d_bar.mean()
     print(f"field {FIELD} baked-field bias: rel_rmse(noise-sub)={bias:.5f} "
-          f"mean_delta={mean_delta:+.5f} "
-          f"noise_floor={np.sqrt((var_c+var_d)/2)/rms:.5f}")
+          f"mean_delta={mean_delta:+.5f} noise_floor={floor:.5f}")
 
 
 if __name__ == "__main__":

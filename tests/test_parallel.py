@@ -200,18 +200,20 @@ def test_dp_train_step_mesh8_equals_sharded_single_device():
 
     state8, mse8 = dp_train_step(state, scene, key, cfg, make_mesh(8))
 
-    # single-device emulation with the same per-shard key folding
-    ro, rd = pixel_rays(scene.camera, cfg.train.train_width,
-                        cfg.train.train_height)
+    # single-device emulation: the SAME train_ray_pool (built before
+    # sharding), the same per-shard key folding
+    k_pool, key2 = jax.random.split(key)
+    ro, rd = targets.train_ray_pool(scene, cfg, k_pool)
     n = ro.shape[0]
     per = n // 8
     grads_sum = None
     mses = []
     for d in range(8):
-        kd = jax.random.fold_in(key, d)
+        kd = jax.random.fold_in(key2, d)
         sl = slice(d * per, (d + 1) * per)
         batch = targets.generate_train_batch_for_rays(scene, cfg, kd,
-                                                      ro[sl], rd[sl])
+                                                      ro[sl], rd[sl],
+                                                      expanded=True)
         g, mse = nrc.compute_grads(state, batch.pos, batch.dir,
                                    batch.target, cfg)
         mses.append(float(mse))

@@ -167,3 +167,29 @@ def test_checkpoint_roundtrip_adam_state(tmp_path):
     with pytest.raises(ValueError):
         checkpoint.load(path, sgd_state,
                         expect_config_hash=checkpoint.config_hash(cfg))
+
+
+def test_noise_subtracted_bias_recovers_known_bias():
+    """The twin-pair protocol (metrics.noise_subtracted_bias) recovers a
+    planted bias through much larger iid noise, and reports ~zero bias
+    when there is none."""
+    rng = np.random.default_rng(0)
+    shape = (256, 256, 3)
+    truth = 2.0 + rng.random(shape)
+    bias_field = 0.02 * truth  # 2% relative bias
+    sigma = 0.5
+
+    def noisy(base):
+        return base + rng.normal(0, sigma, shape)
+
+    a1, a2 = noisy(truth + bias_field), noisy(truth + bias_field)
+    r1, r2 = noisy(truth), noisy(truth)
+    bias, floor = metrics.noise_subtracted_bias(a1, a2, r1, r2)
+    rms = np.sqrt(np.mean(truth ** 2))
+    true_bias = np.sqrt(np.mean(bias_field ** 2)) / rms
+    assert abs(bias - true_bias) < 0.4 * true_bias, (bias, true_bias)
+    assert floor > 5 * true_bias  # the raw comparison would be useless
+
+    b0, _ = metrics.noise_subtracted_bias(noisy(truth), noisy(truth),
+                                          noisy(truth), noisy(truth))
+    assert b0 < 0.5 * true_bias, b0
