@@ -70,6 +70,7 @@ def build_collision_field(density_field: jnp.ndarray, vol: VolumeConfig,
     N_KNOTS quantile distances of THIS bucket's cumulative-tau profile.
     """
     field_shape = field_shape or vol.field_shape
+    N_THETA, N_PHI = vol.field_dir_buckets
     nx, ny, nz = field_shape
     size = jnp.asarray(vol.box_size, jnp.float32)
     center = jnp.asarray(vol.box_center, jnp.float32)
@@ -160,6 +161,7 @@ def query_collision_rows(field: jnp.ndarray, pos: jnp.ndarray,
     """One row gather -> (tau_total bilinear over (theta, phi), knots (.., J)
     of the nearest bucket). pos/d: (..., 3)."""
     field_shape = field_shape or vol.field_shape
+    N_THETA, N_PHI = vol.field_dir_buckets
     nx, ny, nz = field_shape
     uvw = volume_ops.world_to_uvw(pos, vol.box_size, vol.box_center)
     ijk = jnp.clip((uvw * jnp.asarray(field_shape, uvw.dtype)).astype(

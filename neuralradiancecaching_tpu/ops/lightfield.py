@@ -59,7 +59,8 @@ def build_transmittance_field(density_field: jnp.ndarray, vol: VolumeConfig,
                               steps: int = 16,
                               field_shape: Tuple[int, int, int] | None = None
                               ) -> jnp.ndarray:
-    """(V * N_THETA * N_PHI, 4) corner-packed exit-tau rows,
+    """(V * NT * NP, 4) corner-packed exit-tau rows (NT, NP =
+    vol.field_dir_buckets),
     V = prod(field_shape): row (vox, it, ip) holds the bilinear patch
     [tau(it,ip), tau(it,ip+1), tau(it+1,ip), tau(it+1,ip+1)] with phi
     wraparound and theta clamping baked in.
@@ -68,6 +69,7 @@ def build_transmittance_field(density_field: jnp.ndarray, vol: VolumeConfig,
     CENTERS (matching the query's bilinear reconstruction).
     """
     field_shape = field_shape or vol.field_shape
+    N_THETA, N_PHI = vol.field_dir_buckets
     nx, ny, nz = field_shape
     size = jnp.asarray(vol.box_size, jnp.float32)
     center = jnp.asarray(vol.box_center, jnp.float32)
@@ -115,6 +117,7 @@ def query_tau_field(field: jnp.ndarray, pos: jnp.ndarray,
     """Optical depth tau(pos -> exit along d): nearest voxel row + bilinear
     over (theta, phi) with phi wraparound. pos/d: (..., 3) -> (...,)."""
     field_shape = field_shape or vol.field_shape
+    N_THETA, N_PHI = vol.field_dir_buckets
     nx, ny, nz = field_shape
     uvw = volume_ops.world_to_uvw(pos, vol.box_size, vol.box_center)
     ijk = jnp.clip((uvw * jnp.asarray(field_shape, uvw.dtype)).astype(
@@ -278,7 +281,8 @@ def build_scatter_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
     gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
     pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * size + center
 
-    # quadrature directions: the fine equirect grid (N_THETA x N_PHI)
+    # quadrature directions: the fine equirect grid (vol.field_dir_buckets)
+    N_THETA, N_PHI = vol.field_dir_buckets
     th = (jnp.arange(N_THETA, dtype=jnp.float32) + 0.5) / N_THETA * math.pi
     ph = ((jnp.arange(N_PHI, dtype=jnp.float32) + 0.5) / N_PHI * 2.0
           - 1.0) * math.pi
