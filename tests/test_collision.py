@@ -342,3 +342,45 @@ def test_delta_sampler_matches_collision_mean():
     # the two estimators differ only by the baked field's discretization
     # bias + MC noise at 16 spp
     assert rel < 0.1, (img_c.mean(), img_d.mean())
+
+
+def test_delta_sampler_nn_mode_cut_queries():
+    """sampler='delta' in NN mode: RR cuts record cache queries with
+    positive weights at in-box positions; the render composes finite."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import pathtrace
+    from neuralradiancecaching_tpu.scene.camera import pixel_rays
+    from tests.test_render_nrc import tiny_config, tiny_scene
+
+    cfg = tiny_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        path=dataclasses.replace(cfg.path, sampler="delta",
+                                 delta_null_steps=32, max_bounces=8),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field"),
+        volume=dataclasses.replace(cfg.volume, field_shape=(4, 4, 4)),
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -10.0)))
+    scene = tiny_scene(cfg, density_value=0.8)
+    ro, rd = pixel_rays(scene.camera, 16, 16)
+    res = pathtrace.trace_path(scene, cfg, ro, rd, jax.random.PRNGKey(2),
+                               use_nn=True)
+    qfrac = float(np.asarray((res.query_weight > 0).mean()))
+    assert qfrac > 0.05, qfrac  # dense medium: many walks reach an RR cut
+    qp = np.asarray(res.query_pos)[np.asarray(res.query_weight) > 0]
+    half = np.asarray(cfg.volume.box_size) / 2
+    assert (np.abs(qp) <= half + 1e-3).all()
+    # binary primary see-through: trans in {0, 1}
+    tr = np.asarray(res.transmittance)
+    assert np.isin(tr, [0.0, 1.0]).all()
+
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    rgb, _ = pathtrace.render_image(
+        scene, cfg, ro, rd, jax.random.PRNGKey(3),
+        query_fn=lambda p, d: nrc.query(state, p, d, cfg))
+    assert np.isfinite(np.asarray(rgb)).all()
