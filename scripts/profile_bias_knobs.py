@@ -22,12 +22,15 @@ from neuralradiancecaching_tpu.utils import setup_cache
 
 setup_cache()
 
-from neuralradiancecaching_tpu.ops import collision, lightfield
+from neuralradiancecaching_tpu.ops import collision
 
 KNOB = os.environ.get("KNOB", "dirs2x")
+DIR_BUCKETS = (16, 32)
 if KNOB == "dirs2x":
-    lightfield.N_THETA, lightfield.N_PHI = 32, 64
-    collision.N_THETA, collision.N_PHI = 32, 64
+    # direction resolution now ships as a config field
+    # (VolumeConfig.field_dir_buckets) -- this experiment used it to pick
+    # the default
+    DIR_BUCKETS = (32, 64)
 elif KNOB == "knots8":
     collision.N_KNOTS = 8
     collision.ROW_WIDTH = 4 + 8
@@ -64,7 +67,9 @@ def main():
     for sampler in ("collision", "delta"):
         cfg = dataclasses.replace(
             base, path=dataclasses.replace(base.path, sampler=sampler,
-                                           max_bounces=16))
+                                           max_bounces=16),
+            volume=dataclasses.replace(base.volume,
+                                       field_dir_buckets=DIR_BUCKETS))
         scene = make_scene(cfg, density, env)
         np.asarray(scene.coll_field.sum())
         st = nrc.init_state(jax.random.PRNGKey(0), cfg)
