@@ -408,15 +408,64 @@ def cache_quality(qcfg, scene, st, n_points=8192, samples=32, bins=16):
     }
 
 
+def _backend_preflight(attempts: int = 3, timeout_s: int = 240) -> bool:
+    """Probe the TPU backend in a KILLABLE subprocess: when the axon
+    tunnel is down, backend init HANGS (not raises), which would otherwise
+    eat the driver's whole bench timeout. Waits ~3 min between attempts
+    to ride out short flaps."""
+    import subprocess
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert len(jax.devices()) >= 1"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# TPU backend preflight failed (attempt {attempt + 1}/"
+              f"{attempts}); waiting 180s", file=sys.stderr)
+        time.sleep(180)
+    return False
+
+
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # never leave the driver without a JSON line
-        import traceback
-        traceback.print_exc(file=sys.stderr)
+    if (os.environ.get("BENCH_NO_RETRY") != "1"
+            and not _backend_preflight()):
         print(json.dumps({
             "metric": "nrc_render_throughput", "value": 0.0,
             "unit": "Mrays/s", "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}"[:500],
+            "error": "TPU backend unavailable (preflight probe hung/failed"
+                     "; axon tunnel down)",
         }))
         sys.exit(0)
+    try:
+        main()
+        sys.exit(0)
+    except Exception as e:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        err = e
+    # the axon tunnel occasionally flaps (backend init raises UNAVAILABLE);
+    # a backend-init failure is worth spaced retries in a FRESH subprocess
+    # (failed backend state sticks to the process) before conceding 0.0
+    transient = ("initialize backend" in str(err)
+                 or "UNAVAILABLE" in str(err))
+    if transient and os.environ.get("BENCH_NO_RETRY") != "1":
+        import subprocess
+        for attempt in range(2):
+            time.sleep(180)
+            print(f"# backend init failed; retry {attempt + 1} in a fresh "
+                  f"process", file=sys.stderr)
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env={**os.environ, "BENCH_NO_RETRY": "1"})
+            if r.returncode == 0:
+                sys.exit(0)  # the child printed the JSON line
+    # never leave the driver without a JSON line
+    print(json.dumps({
+        "metric": "nrc_render_throughput", "value": 0.0,
+        "unit": "Mrays/s", "vs_baseline": 0.0,
+        "error": f"{type(err).__name__}: {err}"[:500],
+    }))
+    sys.exit(0)
