@@ -160,6 +160,9 @@ def cmd_nrc_online(args) -> None:
     cfg = cfg_mod.nrc_online_config(args.width, args.height)
     cfg = dataclasses.replace(cfg, camera=dataclasses.replace(
         cfg.camera, aspect=args.width / args.height))
+    if getattr(args, "sampler", None) and args.sampler != cfg.path.sampler:
+        cfg = dataclasses.replace(cfg, path=dataclasses.replace(
+            cfg.path, sampler=args.sampler))
     scene = _build_scene(cfg)
     state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
     if args.resume:
@@ -366,6 +369,10 @@ def main(argv=None) -> None:
     sp.add_argument("--resume", type=str, default=None)
     sp.add_argument("--mesh", type=str, default="off",
                     help="data-parallel mesh: off | auto (all devices) | N")
+    sp.add_argument("--sampler", type=str, default=None,
+                    choices=["reference", "collision", "delta"],
+                    help="distance sampler override (delta = unbiased "
+                         "ground truth for parity runs)")
     sp.set_defaults(fn=cmd_nrc_online)
 
     sp = sub.add_parser("progressive", help="BASELINE config 5 (1080p)")
