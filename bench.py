@@ -425,14 +425,15 @@ def _backend_preflight(attempts: int = 3, timeout_s: int = 240) -> bool:
         except subprocess.TimeoutExpired:
             pass
         print(f"# TPU backend preflight failed (attempt {attempt + 1}/"
-              f"{attempts}); waiting 180s", file=sys.stderr)
-        time.sleep(180)
+              f"{attempts})", file=sys.stderr)
+        if attempt < attempts - 1:
+            time.sleep(180)
     return False
 
 
 if __name__ == "__main__":
-    if (os.environ.get("BENCH_NO_RETRY") != "1"
-            and not _backend_preflight()):
+    child = os.environ.get("BENCH_NO_RETRY") == "1"
+    if not child and not _backend_preflight():
         print(json.dumps({
             "metric": "nrc_render_throughput", "value": 0.0,
             "unit": "Mrays/s", "vs_baseline": 0.0,
@@ -447,21 +448,35 @@ if __name__ == "__main__":
         import traceback
         traceback.print_exc(file=sys.stderr)
         err = e
+    if child:
+        # retry child: exit NONZERO without a JSON line so the parent's
+        # remaining spaced retries stay reachable (the parent prints the
+        # final JSON if every attempt fails)
+        sys.exit(1)
     # the axon tunnel occasionally flaps (backend init raises UNAVAILABLE);
     # a backend-init failure is worth spaced retries in a FRESH subprocess
-    # (failed backend state sticks to the process) before conceding 0.0
+    # (failed backend state sticks to the process) before conceding 0.0.
+    # Each child is preflighted (killable) first so a hang cannot eat the
+    # driver's timeout, and bounded by a hard subprocess timeout.
     transient = ("initialize backend" in str(err)
                  or "UNAVAILABLE" in str(err))
-    if transient and os.environ.get("BENCH_NO_RETRY") != "1":
+    if transient:
         import subprocess
         for attempt in range(2):
             time.sleep(180)
-            print(f"# backend init failed; retry {attempt + 1} in a fresh "
-                  f"process", file=sys.stderr)
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env={**os.environ, "BENCH_NO_RETRY": "1"})
-            if r.returncode == 0:
-                sys.exit(0)  # the child printed the JSON line
+            if not _backend_preflight(attempts=1):
+                continue
+            print(f"# backend recovered; bench retry {attempt + 1} in a "
+                  f"fresh process", file=sys.stderr)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env={**os.environ, "BENCH_NO_RETRY": "1"},
+                    timeout=3000)
+                if r.returncode == 0:
+                    sys.exit(0)  # the child printed the JSON line
+            except subprocess.TimeoutExpired:
+                pass
     # never leave the driver without a JSON line
     print(json.dumps({
         "metric": "nrc_render_throughput", "value": 0.0,

@@ -160,14 +160,28 @@ def cmd_nrc_online(args) -> None:
     cfg = cfg_mod.nrc_online_config(args.width, args.height)
     cfg = dataclasses.replace(cfg, camera=dataclasses.replace(
         cfg.camera, aspect=args.width / args.height))
+    cfg_base = cfg  # pre-override config: what a default-run checkpoint
+    # was saved under (the natural parity flow trains with the default
+    # sampler and resumes with --sampler delta)
     if getattr(args, "sampler", None) and args.sampler != cfg.path.sampler:
         cfg = dataclasses.replace(cfg, path=dataclasses.replace(
             cfg.path, sampler=args.sampler))
     scene = _build_scene(cfg)
     state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
     if args.resume:
-        state = checkpoint.load(args.resume, state,
-                                expect_config_hash=checkpoint.config_hash(cfg))
+        try:
+            state = checkpoint.load(
+                args.resume, state,
+                expect_config_hash=checkpoint.config_hash(cfg))
+        except ValueError:
+            if cfg is cfg_base:
+                raise
+            # accept checkpoints trained under the pre-override sampler
+            state = checkpoint.load(
+                args.resume, state,
+                expect_config_hash=checkpoint.config_hash(cfg_base))
+            print(f"note: checkpoint config matches the default sampler; "
+                  f"evaluating under --sampler {args.sampler}")
         print(f"resumed from {args.resume}")
 
     log = MetricsLogger(args.metrics)

@@ -48,8 +48,7 @@ import jax.numpy as jnp
 
 from neuralradiancecaching_tpu.config import VolumeConfig
 from neuralradiancecaching_tpu.ops import volume as volume_ops
-from neuralradiancecaching_tpu.ops.lightfield import (FIELD_SHAPE, N_PHI,
-                                                      N_THETA,
+from neuralradiancecaching_tpu.ops.lightfield import (FIELD_SHAPE,
                                                       _dir_from_theta_phi,
                                                       dir_to_theta_phi)
 

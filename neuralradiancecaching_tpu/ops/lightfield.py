@@ -32,7 +32,10 @@ from neuralradiancecaching_tpu.config import NRCConfig, VolumeConfig
 from neuralradiancecaching_tpu.ops import volume as volume_ops
 
 # direction discretization: equirect (theta from +y polar, phi azimuth).
-# 16x32 = 512-float rows (2 KB): still one gather per query, ~11 deg bins.
+# 16x32 = 512 buckets, ~11 deg bins. NOTE: these module constants are only
+# the DEFAULT of VolumeConfig.field_dir_buckets -- every build/query
+# function shadows them from `vol.field_dir_buckets`, so patching the
+# module attributes has NO effect (change the config field instead).
 N_THETA = 16
 N_PHI = 32
 FIELD_SHAPE: Tuple[int, int, int] = (32, 24, 40)

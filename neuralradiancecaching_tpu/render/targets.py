@@ -291,14 +291,16 @@ def train_ray_pool(scene: Scene, cfg: NRCConfig, key: jax.Array
 def generate_train_batch_for_rays(scene: Scene, cfg: NRCConfig,
                                   key: jax.Array, ro: jnp.ndarray,
                                   rd: jnp.ndarray,
-                                  expanded: bool = False) -> TrainBatch:
+                                  expanded: bool = True) -> TrainBatch:
     """Train batch for an explicit ray set (the data-parallel path passes
     each device's shard of :func:`train_ray_pool`).
 
-    expanded: the rays already contain the vertex_oversample copies
-    (train_ray_pool layout); the returned batch has
+    expanded (default True -- every in-tree caller passes
+    train_ray_pool-shaped rays): the rays already contain the
+    vertex_oversample copies; the returned batch has
     ``ro.shape[0] // vertex_oversample`` rows. False treats the rays as a
-    plain grid and tiles THEM for oversampling (no extra pixel jitter).
+    plain grid and tiles THEM for oversampling (no extra pixel jitter;
+    explicit-opt-in degraded mode for raw ray sets).
 
     The `target_samples` estimates run as ONE batched walk of
     (target_samples * n_rays) rays -- bigger batches amortize the

@@ -1,8 +1,8 @@
 """Localize the collision-field bias (+5.2% vs delta, r3): is it the
-~11-deg direction buckets (N_THETA x N_PHI = 16x32) or the 4-knot
-piecewise-linear CDF inversion? Patches the module-level bake constants
-BEFORE any trace (they are read at trace time) and reruns the
-delta-vs-collision protocol of profile_delta_bias.py.
+~11-deg direction buckets (VolumeConfig.field_dir_buckets, default
+(16, 32)) or the 4-knot piecewise-linear CDF inversion? Sets the config
+knob (dirs) or patches the module-level knot constants BEFORE any trace,
+then reruns the delta-vs-collision protocol of profile_delta_bias.py.
 
 Env: KNOB=dirs2x doubles direction buckets; KNOB=knots8 doubles CDF knots;
 KNOB=base reproduces the shipped config.
