@@ -345,11 +345,26 @@ class PathTraceConfig:
     #                  so it is the parity/ground-truth sampler, not the
     #                  perf default.
     sampler: str = "reference"
-    # inner null-collision iterations per scatter event for
-    # sampler='delta'. A walk that exhausts the budget while still inside
-    # the box counts as an escape: P(exhaust) ~ (1 - sigma_mean/
-    # sigma_maj)^delta_null_steps, negligible at 64 for the cloud scene.
+    # null-collision candidates per scatter event for sampler='delta'.
+    # The candidates are batched (cumsum of iid exponentials -> ONE
+    # density gather of delta_null_steps * n rows; render/pathtrace.py),
+    # so this is a rows knob, not a sequential-steps knob. A walk that
+    # exhausts the budget while still inside the box counts as an escape:
+    # P(exhaust) ~ (1 - sigma_mean/sigma_maj)^delta_null_steps,
+    # negligible at 64 with the global majorant for the cloud scene (and
+    # far smaller at the same budget with delta_majorant='local').
     delta_null_steps: int = 64
+    # majorant for sampler='delta': 'global' = density_factor * max(grid);
+    # 'local' = per-event segment bound from a dilated coarse max grid
+    # (ops/volume.py majorant_grid) sampled at delta_majorant_samples
+    # midpoints (one extra batched nearest-cell gather per event). A
+    # tighter majorant stretches the candidate exponentials, so fewer
+    # delta_null_steps cover the same exhaust probability.
+    delta_majorant: str = "global"
+    delta_majorant_cells: Tuple[int, int, int] = (8, 6, 10)
+    # midpoint samples per event segment; must cover the box diagonal at
+    # one coarse-cell-edge spacing (validated at trace time)
+    delta_majorant_samples: int = 16
     # quadrature steps per (voxel, dir) bucket when baking the collision
     # field's cumulative-tau profile
     collision_field_steps: int = 48
@@ -433,6 +448,11 @@ class PathTraceConfig:
     defer_shade: bool = True
 
     def __post_init__(self):
+        if self.sampler not in ("reference", "collision", "delta"):
+            raise ValueError(f"unknown sampler {self.sampler!r}")
+        if self.delta_majorant not in ("global", "local"):
+            raise ValueError(
+                f"unknown delta_majorant {self.delta_majorant!r}")
         if self.compact_events > 0:
             mean = rr_mean_events(self.rr_decay, self.max_bounces)
             needed = mean * 1.25 + 0.5

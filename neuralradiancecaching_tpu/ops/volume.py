@@ -211,3 +211,37 @@ def transmittance(field: jnp.ndarray, start: jnp.ndarray, end: jnp.ndarray,
 def quantize_8bit(grid: jnp.ndarray) -> jnp.ndarray:
     """Quirk #7 (Texture3D.cpp:25-40): density quantized to 8-bit UNORM."""
     return jnp.round(jnp.clip(grid, 0.0, 1.0) * 255.0) / 255.0
+
+
+def majorant_grid(grid: jnp.ndarray, cells: Tuple[int, int, int]
+                  ) -> jnp.ndarray:
+    """Dilated coarse max-density grid for local-majorant delta tracking.
+
+    Returns a (cx, cy, cz) grid where cell c bounds the TRILINEAR density
+    anywhere within one cell edge of c:
+
+      1. fine 3x3x3 max dilation -- a trilinear sample at p reads corners
+         up to 1 texel from p's voxel (sample coords uvw*N - 0.5, see
+         :func:`sample_grid_trilinear`), so each fine voxel must carry its
+         neighbourhood max;
+      2. block-reduce into cells of ceil(N/c) voxels (zero-padded: border
+         is clamp-to-border black);
+      3. coarse 3x3x3 max dilation -- a segment point p whose nearest
+         majorant sample (spacing <= one cell edge) landed in an adjacent
+         cell is still bounded.
+
+    Together: maj[cell(q)] >= density(p) for every p with |p - q|_inf <=
+    one cell edge, which is what the batched Woodcock sampler's
+    midpoint-sampled per-event majorant requires (render/pathtrace.py).
+    The grid is raw density -- multiply by density_factor at use, like
+    :func:`density_at`.
+    """
+    g = jax.lax.reduce_window(grid, 0.0, jax.lax.max, (3, 3, 3),
+                              (1, 1, 1), "SAME")
+    f = [-(-n // c) for n, c in zip(grid.shape, cells)]
+    pad = [(0, c * fi - n) for n, c, fi in zip(grid.shape, cells, f)]
+    g = jnp.pad(g, pad)
+    g = g.reshape(cells[0], f[0], cells[1], f[1],
+                  cells[2], f[2]).max(axis=(1, 3, 5))
+    return jax.lax.reduce_window(g, 0.0, jax.lax.max, (3, 3, 3),
+                                 (1, 1, 1), "SAME")

@@ -223,37 +223,85 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     delta = pt.sampler == "delta"
     n_null = pt.delta_null_steps
+    if delta and pt.delta_majorant == "local":
+        # static coverage check: midpoint samples at spacing t_far /
+        # samples must land within one coarse cell edge of every segment
+        # point (t_far <= the box diagonal), or the per-event majorant is
+        # not a bound and the walk would be biased
+        import math as _math
+        vox = [b / g for b, g in zip(vol.box_size, vol.grid_shape)]
+        fpc = [-(-g // c) for g, c in zip(vol.grid_shape,
+                                          pt.delta_majorant_cells)]
+        min_edge = min(v * f for v, f in zip(vox, fpc))
+        diag = _math.sqrt(sum(b * b for b in vol.box_size))
+        if pt.delta_majorant_samples * min_edge < diag:
+            raise ValueError(
+                f"delta_majorant_samples={pt.delta_majorant_samples} cannot "
+                f"cover the box diagonal {diag:.1f} at coarse cell edge "
+                f"{min_edge:.2f}; need >= {diag / min_edge:.1f}")
+        maj = volume_ops.majorant_grid(scene.density_grid.astype(dtype),
+                                       pt.delta_majorant_cells)
+        maj_flat = maj.reshape(-1)
+        cell_sz = jnp.asarray([v * f for v, f in zip(vox, fpc)], dtype)
+        cdims = pt.delta_majorant_cells
+
+        def maj_lookup(p):
+            """(R, 3) world points -> (R,) raw-density majorant bound."""
+            rel = (p - (ctr - half)) / cell_sz
+            idx = jnp.clip(rel.astype(jnp.int32), 0,
+                           jnp.asarray(cdims, jnp.int32) - 1)
+            flat = (idx[:, 0] * cdims[1] + idx[:, 1]) * cdims[2] + idx[:, 2]
+            return jnp.take(maj_flat, flat, axis=0)
 
     def step(s: S, u_step):
         u_rr, u_t, u_hg1, u_hg2 = (u_step[0], u_step[1], u_step[2],
                                    u_step[3])
         if delta:
-            # TRUE delta tracking (unbiased): Woodcock null-collision walk
-            # against the global majorant sigma_maj = density_factor *
-            # max(grid) (trilinear interpolation never exceeds the grid
-            # max), exact ray/AABB exit distance, binary scatter/escape.
-            # This replaces the baked-CDF gather with n_null sequential
-            # density gathers -- the parity sampler, not the perf default.
+            # TRUE delta tracking (unbiased), BATCHED: with a constant
+            # per-event majorant the Woodcock candidate distances are a
+            # cumsum of iid exponentials -- independent of the density
+            # values -- so all n_null candidate points are known upfront
+            # and their acceptance tests run as ONE batched density gather
+            # + first-acceptance argmax, instead of n_null SEQUENTIAL
+            # gathers (TPU gathers are op-count bound, not row-count
+            # bound; docs/PERFORMANCE.md). Estimator-identical to the
+            # textbook sequential walk: same uniforms, same acceptance
+            # rule, same exhaust-as-escape semantics.
+            # delta_majorant='local' tightens sigma_maj per event from the
+            # dilated coarse max grid (one extra batched gather), so the
+            # same n_null budget covers a far smaller exhaust probability
+            # -- or n_null can drop ~4x for the same one.
             # Reference baseline being improved on: the quadrature
             # free-flight march of nrc-train.comp:1032-1053,1164-1167.
-            sigma_maj = (vol.density_factor
-                         * jnp.max(scene.density_grid).astype(dtype) + 1e-8)
             _, t_far, _ = volume_ops.ray_aabb(s.pos, s.dir, vol.box_size,
                                               vol.box_center)
+            if pt.delta_majorant == "local":
+                m = pt.delta_majorant_samples
+                fr = (jnp.arange(m, dtype=dtype) + 0.5) / m
+                sp = (s.pos[None]
+                      + (fr[:, None] * t_far[None])[..., None] * s.dir[None])
+                sigma_maj = (vol.density_factor
+                             * jnp.max(maj_lookup(sp.reshape(-1, 3))
+                                       .reshape(m, n), axis=0) + 1e-8)
+            else:
+                # global: trilinear interpolation never exceeds the grid max
+                sigma_maj = (vol.density_factor
+                             * jnp.max(scene.density_grid).astype(dtype)
+                             + 1e-8)
             u_null = u_step[4:].reshape(n_null, 2, -1)
-
-            def null_step(c, uu):
-                t_c, found = c
-                t2 = t_c - jnp.log1p(-uu[0]) / sigma_maj
-                xi = s.pos + t2[:, None] * s.dir
-                dens = volume_ops.density_at(scene.density, xi, vol)
-                hit_i = (~found & (t2 <= t_far)
-                         & (uu[1] * sigma_maj < dens))
-                return (jnp.where(found, t_c, t2), found | hit_i), None
-
-            (t, found), _ = jax.lax.scan(
-                null_step, (jnp.zeros((n,), dtype),
-                            jnp.zeros((n,), bool)), u_null)
+            t_cand = (jnp.cumsum(-jnp.log1p(-u_null[:, 0]), axis=0)
+                      / sigma_maj)                              # (K, N)
+            # clamp the gather positions (not the comparison): beyond-exit
+            # candidates are rejected by the t <= t_far test regardless of
+            # the density fetched there
+            xc = (s.pos[None]
+                  + jnp.minimum(t_cand, t_far[None])[..., None] * s.dir[None])
+            dens = volume_ops.density_at(
+                scene.density, xc.reshape(-1, 3), vol).reshape(n_null, n)
+            acc = (t_cand <= t_far[None]) & (u_null[:, 1] * sigma_maj < dens)
+            found = jnp.any(acc, axis=0)
+            kidx = jnp.argmax(acc, axis=0)
+            t = jnp.take_along_axis(t_cand, kidx[None], axis=0)[0]
             alive = ~s.done & found
             p_sc = jnp.ones((n,), dtype)  # branch already sampled binarily
             # first-step escape <=> the transmitted-env photon survives:

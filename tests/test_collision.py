@@ -384,3 +384,131 @@ def test_delta_sampler_nn_mode_cut_queries():
         scene, cfg, ro, rd, jax.random.PRNGKey(3),
         query_fn=lambda p, d: nrc.query(state, p, d, cfg))
     assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_delta_batched_matches_sequential_woodcock():
+    """The batched delta sampler (cumsum candidates + one gather +
+    first-acceptance argmax, render/pathtrace.py) is estimator-IDENTICAL
+    to the textbook sequential Woodcock walk: same uniforms, same
+    (found, t) per ray. Validated here against an explicit sequential
+    reimplementation on a random density grid."""
+    key = jax.random.PRNGKey(7)
+    grid = jax.random.uniform(key, (12, 9, 14), minval=0.0, maxval=1.0)
+    vol = VolumeConfig(grid_shape=(12, 9, 14), box_size=(6.0, 4.5, 7.0),
+                       density_factor=0.7)
+    table = vol_ops.build_corner_table(grid)
+    n, k_cand = 64, 24
+    kp, kd, ku = jax.random.split(jax.random.PRNGKey(3), 3)
+    pos = (jax.random.uniform(kp, (n, 3)) - 0.5) \
+        * (jnp.asarray(vol.box_size) * 0.9)
+    d = jax.random.normal(kd, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    u = jax.random.uniform(ku, (k_cand, 2, n))
+    sigma = vol.density_factor * jnp.max(grid) + 1e-8
+    _, t_far, _ = vol_ops.ray_aabb(pos, d, vol.box_size, vol.box_center)
+
+    # sequential reference walk (the pre-batching implementation)
+    t_c = jnp.zeros((n,))
+    found_s = jnp.zeros((n,), bool)
+    for i in range(k_cand):
+        t2 = t_c - jnp.log1p(-u[i, 0]) / sigma
+        dens = vol_ops.density_at(table, pos + t2[:, None] * d, vol)
+        hit_i = ~found_s & (t2 <= t_far) & (u[i, 1] * sigma < dens)
+        t_c = jnp.where(found_s, t_c, t2)
+        found_s = found_s | hit_i
+
+    # batched formulation (as shipped)
+    t_cand = jnp.cumsum(-jnp.log1p(-u[:, 0]), axis=0) / sigma
+    xc = pos[None] + jnp.minimum(t_cand, t_far[None])[..., None] * d[None]
+    dens = vol_ops.density_at(table, xc.reshape(-1, 3), vol
+                              ).reshape(k_cand, n)
+    acc = (t_cand <= t_far[None]) & (u[:, 1] * sigma < dens)
+    found_b = jnp.any(acc, axis=0)
+    t_b = jnp.take_along_axis(t_cand, jnp.argmax(acc, axis=0)[None],
+                              axis=0)[0]
+
+    np.testing.assert_array_equal(np.asarray(found_s), np.asarray(found_b))
+    f = np.asarray(found_s)
+    assert f.any()
+    # only float-association differs (sequential adds vs cumsum-then-divide)
+    np.testing.assert_allclose(np.asarray(t_c)[f], np.asarray(t_b)[f],
+                               rtol=1e-5)
+
+
+def test_majorant_grid_bounds_trilinear_density():
+    """ops/volume.majorant_grid contract: maj[cell(q)] >= density(p) for
+    every p within one coarse cell edge of q (the slack the batched
+    local-majorant sampler's midpoint sampling relies on)."""
+    key = jax.random.PRNGKey(11)
+    grid = jax.random.uniform(key, (25, 17, 31), minval=0.0, maxval=2.0)
+    vol = VolumeConfig(grid_shape=(25, 17, 31), box_size=(12.5, 8.5, 15.5),
+                       density_factor=1.0)
+    cells = (5, 4, 6)
+    maj = vol_ops.majorant_grid(grid, cells)
+    vox = [b / g for b, g in zip(vol.box_size, vol.grid_shape)]
+    fpc = [-(-g // c) for g, c in zip(vol.grid_shape, cells)]
+    cell_sz = np.asarray([v * f for v, f in zip(vox, fpc)], np.float32)
+    min_edge = float(cell_sz.min())
+    half = np.asarray(vol.box_size, np.float32) / 2
+
+    kq, ko = jax.random.split(jax.random.PRNGKey(4))
+    q = (jax.random.uniform(kq, (4096, 3)) - 0.5) \
+        * jnp.asarray(vol.box_size)
+    off = (jax.random.uniform(ko, (4096, 3)) * 2.0 - 1.0) * min_edge
+    p = jnp.clip(q + off, -half, half)  # density is 0 outside anyway
+    dens = np.asarray(vol_ops.density_at(grid, p, vol))
+    idx = np.clip(((np.asarray(q) + half) / cell_sz).astype(np.int32),
+                  0, np.asarray(cells) - 1)
+    bound = np.asarray(maj)[idx[:, 0], idx[:, 1], idx[:, 2]]
+    assert (dens <= bound + 1e-5).all(), float((dens - bound).max())
+
+
+def test_delta_local_majorant_matches_global():
+    """delta_majorant='local' is the same unbiased estimator with a
+    tighter per-event bound: mean radiance matches the global-majorant
+    delta render within MC tolerance, at a quarter of the candidate
+    budget."""
+    base = tiny_config(use_nn=False)
+    base = dataclasses.replace(
+        base,
+        env_map=dataclasses.replace(base.env_map, in_scatter_mode="field"),
+        volume=dataclasses.replace(base.volume, field_shape=(4, 4, 4)),
+        camera=dataclasses.replace(base.camera, position=(0.0, 0.0, -12.0)))
+
+    def render_mean(majorant, n_cand, spp):
+        cfg = dataclasses.replace(
+            base, path=dataclasses.replace(
+                base.path, sampler="delta", delta_null_steps=n_cand,
+                delta_majorant=majorant, delta_majorant_cells=(4, 4, 4),
+                delta_majorant_samples=8, max_bounces=8))
+        scene = tiny_scene(cfg)
+        ro, rd = pixel_rays(scene.camera, 16, 16)
+        acc = 0.0
+        for i in range(spp):
+            rgb, _ = pathtrace.render_image(scene, cfg, ro, rd,
+                                            jax.random.PRNGKey(200 + i))
+            acc = acc + np.asarray(rgb)
+        assert np.isfinite(acc).all()
+        return acc / spp
+
+    img_g = render_mean("global", 32, 12)
+    img_l = render_mean("local", 8, 12)
+    rel = abs(img_g.mean() - img_l.mean()) / max(img_g.mean(), 1e-6)
+    assert rel < 0.08, (img_g.mean(), img_l.mean())
+
+
+def test_delta_local_majorant_coverage_validation():
+    """Too few midpoint samples to cover the box diagonal at one
+    cell-edge spacing must be rejected at trace time, not silently
+    biased."""
+    import pytest
+
+    cfg = tiny_config(use_nn=False)
+    cfg = dataclasses.replace(
+        cfg, path=dataclasses.replace(
+            cfg.path, sampler="delta", delta_majorant="local",
+            delta_majorant_cells=(16, 16, 16), delta_majorant_samples=2))
+    scene = tiny_scene(cfg)
+    ro, rd = pixel_rays(scene.camera, 4, 4)
+    with pytest.raises(ValueError, match="cover the box diagonal"):
+        pathtrace.render_image(scene, cfg, ro, rd, jax.random.PRNGKey(0))
