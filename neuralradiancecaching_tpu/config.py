@@ -281,6 +281,10 @@ class EnvMapConfig:
     #                   (ops/lightfield.py; fast TPU path, default)
     #   'quadrature' -- the reference's per-sample 16-step quadrature
     #                   (nrc-forward.frag:721; exact but 16x the gathers)
+    #   'ratio'      -- UNBIASED ratio tracking (ops/volume.py
+    #                   transmittance_ratio; PathTraceConfig.
+    #                   ratio_tracking_steps candidates, one batched
+    #                   gather) -- the ground-truth mode for parity runs
     transmittance_mode: str = "field"
     # env in-scatter estimator at scatter vertices:
     #   'mc'    -- the reference's n_samples phase-sampled MC estimate
@@ -368,11 +372,21 @@ class PathTraceConfig:
     # quadrature steps per (voxel, dir) bucket when baking the collision
     # field's cumulative-tau profile
     collision_field_steps: int = 48
-    # segment transmittance between scatter vertices (and to dir/point
-    # lights): 'field' = two tau-field row gathers per segment
-    # (ops/lightfield.py segment_transmittance_field, fast TPU path);
-    # 'quadrature' = the reference's 32-step quadrature (exact)
+    # segment transmittance to dir/point lights in the NEE shade (and
+    # between vertices in the reference walk): 'field' = two tau-field row
+    # gathers per segment (ops/lightfield.py segment_transmittance_field,
+    # fast TPU path); 'quadrature' = the reference's 32-step quadrature;
+    # 'ratio' = UNBIASED ratio tracking (NEE shade only -- the reference
+    # walk keeps its faithful quadrature): prod (1 - sigma/sigma_maj) over
+    # batched Woodcock candidates, one gather (ops/volume.py
+    # transmittance_ratio). Paired with sampler='delta' this makes the
+    # whole pipeline unbiased -- the ground-truth configuration.
     transmittance_mode: str = "field"
+    # candidate budget for 'ratio' transmittance; must cover
+    # sigma_maj * longest segment with margin (exhausted candidates leave
+    # their factors at 1). 96 covers the production cloud's box diagonal
+    # (0.4 * 107.5 = 43 expected candidates) at > +7 sigma.
+    ratio_tracking_steps: int = 96
     # cross-ray scatter-event compaction for the shading phase (NN mode):
     # shade only the valid events, packed to the front by a sort, capped at
     # `compact_events` events per ray on average. NOTE: overflow drops are

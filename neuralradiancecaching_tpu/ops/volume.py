@@ -213,6 +213,40 @@ def quantize_8bit(grid: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(jnp.clip(grid, 0.0, 1.0) * 255.0) / 255.0
 
 
+def transmittance_ratio(field: jnp.ndarray, start: jnp.ndarray,
+                        end: jnp.ndarray, key: jax.Array, steps: int,
+                        sigma_maj: jnp.ndarray, cfg: VolumeConfig
+                        ) -> jnp.ndarray:
+    """UNBIASED segment transmittance by ratio tracking, batched.
+
+    T_hat = prod_k (1 - sigma(x_k)/sigma_maj) over Woodcock candidates
+    x_k at distances cumsum(Exp(sigma_maj)) <= |end - start|;
+    E[T_hat] = exp(-integral sigma) exactly for any sigma_maj >= sigma
+    (the classic null-collision identity). Like the batched delta sampler
+    (render/pathtrace.py), the candidates are density-independent, so the
+    whole estimate is ONE batched gather + a masked product -- no
+    sequential walk. A candidate budget that exhausts before the segment
+    end leaves the remaining factors at 1 (same truncation semantics as
+    delta_null_steps; negligible for steps covering sigma_maj * length).
+
+    This goes BEYOND the reference's 32-step quadrature
+    (nrc-train.comp:1032-1053, which carries O(step^2) bias) -- the
+    ground-truth transmittance for parity runs.
+
+    start/end: (..., 3) -> (...,).
+    """
+    seg = end - start
+    length = jnp.linalg.norm(seg, axis=-1)
+    dirn = seg / jnp.maximum(length, 1e-12)[..., None]
+    u = jax.random.uniform(key, (steps,) + length.shape, dtype=start.dtype)
+    t_cand = jnp.cumsum(-jnp.log1p(-u), axis=0) / sigma_maj
+    x = start[None] + jnp.minimum(t_cand, length[None])[..., None] \
+        * dirn[None]
+    rho = density_at(field, x, cfg)
+    f = jnp.where(t_cand <= length[None], 1.0 - rho / sigma_maj, 1.0)
+    return jnp.where(length > 0.0, jnp.prod(f, axis=0), 1.0)
+
+
 def majorant_grid(grid: jnp.ndarray, cells: Tuple[int, int, int]
                   ) -> jnp.ndarray:
     """Dilated coarse max-density grid for local-majorant delta tracking.

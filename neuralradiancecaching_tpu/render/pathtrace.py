@@ -46,12 +46,19 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
     n = pos.shape[0]
     total = jnp.zeros((n, 3), dtype=pos.dtype)
 
-    def segment_t(a, b):
-        """Segment transmittance: tau-field (fast) or quadrature (exact)."""
+    def segment_t(a, b, tag):
+        """Segment transmittance: tau-field (fast), quadrature (the
+        reference's scheme), or ratio tracking (unbiased)."""
         if cfg.path.transmittance_mode == "field":
             from neuralradiancecaching_tpu.ops import lightfield
             return lightfield.segment_transmittance_field(
                 scene.env_t_field, a, b, vol)
+        if cfg.path.transmittance_mode == "ratio":
+            sig = (vol.density_factor
+                   * jnp.max(scene.density_grid).astype(pos.dtype) + 1e-8)
+            return volume_ops.transmittance_ratio(
+                scene.density, a, b, jax.random.fold_in(key, 9100 + tag),
+                cfg.path.ratio_tracking_steps, sig, vol)
         return volume_ops.transmittance(scene.density, a, b,
                                         cfg.path.transmittance_steps, vol)
 
@@ -64,7 +71,7 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
         _, exit_p, _ = volume_ops.entry_exit_points(
             pos, jnp.broadcast_to(to_light, pos.shape), vol.box_size,
             vol.box_center)
-        t = segment_t(pos, exit_p)
+        t = segment_t(pos, exit_p, 1)
         ph = phase_ops.hg_phase(jnp.sum(l.direction * -direction, axis=-1),
                                 vol.hg_g)
         total = total + (t * l.strength * ph)[:, None] * jnp.ones((1, 3))
@@ -74,7 +81,7 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
         # vertex; NOTE no 1/r^2 falloff in the reference -- kept.
         l = scene.point_light
         lpos = jnp.broadcast_to(l.position, pos.shape)
-        t = segment_t(lpos, pos)
+        t = segment_t(lpos, pos, 2)
         wi = lpos - pos
         wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True),
                               1e-8)
@@ -95,15 +102,22 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
         n_cdf = int(round(env_samples * cfg.env_map.cdf_fraction))
         n_phase = env_samples - n_cdf
 
-        def exit_transmittance(p, d):
-            """T(p -> box exit along d): precomputed field (fast) or the
-            reference's 16-step quadrature (exact)."""
+        def exit_transmittance(p, d, k):
+            """T(p -> box exit along d): precomputed field (fast), the
+            reference's quadrature (EnvMapConfig.transmittance_steps), or
+            unbiased ratio tracking."""
             if cfg.env_map.transmittance_mode == "field":
                 from neuralradiancecaching_tpu.ops import lightfield
                 return lightfield.query_transmittance_field(
                     scene.env_t_field, p, d, vol)
             _, exit_p, _ = volume_ops.entry_exit_points(p, d, vol.box_size,
                                                         vol.box_center)
+            if cfg.env_map.transmittance_mode == "ratio":
+                sig = (vol.density_factor
+                       * jnp.max(scene.density_grid).astype(p.dtype) + 1e-8)
+                return volume_ops.transmittance_ratio(
+                    scene.density, p, exit_p, jax.random.fold_in(k, 9201),
+                    cfg.path.ratio_tracking_steps, sig, vol)
             return volume_ops.transmittance(
                 scene.density, p, exit_p, cfg.env_map.transmittance_steps,
                 vol)
@@ -119,7 +133,7 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
                     * lightfield.query_radiance_field(scene.env_l_field,
                                                       pos, rnd_dir, vol)
             else:
-                t = exit_transmittance(pos, rnd_dir)
+                t = exit_transmittance(pos, rnd_dir, ks)
                 light = envmap_ops.sample_direct(scene.env, rnd_dir,
                                                  hpm=True)
                 acc = acc + light * t[:, None]
@@ -127,7 +141,7 @@ def trace_scene(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
             ks = jax.random.fold_in(key, n_phase + s)
             rnd_dir, radiance = envmap_ops.importance_sample(
                 scene.env, ks, (n,), cfg.quirks)
-            t = exit_transmittance(pos, rnd_dir)
+            t = exit_transmittance(pos, rnd_dir, ks)
             ph = phase_ops.hg_phase(jnp.sum(rnd_dir * -direction, axis=-1),
                                     vol.hg_g)
             acc = acc + radiance * scene.env.hpm_strength * (ph * t)[:, None]

@@ -30,6 +30,14 @@ SPP = int(os.environ.get("BIAS_SPP", 64))
 # collision-field voxel resolution under test (the bias knob)
 FIELD = tuple(int(v) for v in
               os.environ.get("BIAS_FIELD", "32,24,40").split(","))
+# ground-truth leg options: BIAS_MAJORANT=local uses the per-event
+# coarse-grid majorant (same estimator, fewer candidates needed;
+# BIAS_NULL_STEPS can then drop); BIAS_TRANSMIT=ratio swaps the NEE
+# quadrature transmittance for unbiased ratio tracking on BOTH legs'
+# shading so the remaining delta is purely the distance sampler's bias
+MAJORANT = os.environ.get("BIAS_MAJORANT", "global")
+NULL_STEPS = int(os.environ.get("BIAS_NULL_STEPS", 64))
+TRANSMIT = os.environ.get("BIAS_TRANSMIT", "")
 
 
 def accum(cfg, scene, st, spp, key0):
@@ -52,10 +60,17 @@ def main():
 
     imgs = {}
     for sampler in ("collision", "delta"):
+        path_kw = dict(sampler=sampler, max_bounces=16,
+                       delta_majorant=MAJORANT,
+                       delta_null_steps=NULL_STEPS)
+        if TRANSMIT:
+            path_kw["transmittance_mode"] = TRANSMIT
         cfg = dataclasses.replace(
-            base, path=dataclasses.replace(base.path, sampler=sampler,
-                                           max_bounces=16),
+            base, path=dataclasses.replace(base.path, **path_kw),
             volume=dataclasses.replace(base.volume, field_shape=FIELD))
+        if TRANSMIT:
+            cfg = dataclasses.replace(cfg, env_map=dataclasses.replace(
+                cfg.env_map, transmittance_mode=TRANSMIT))
         scene = make_scene(cfg, density, env)
         np.asarray(scene.coll_field.sum())
         st = nrc.init_state(jax.random.PRNGKey(0), cfg)

@@ -512,3 +512,38 @@ def test_delta_local_majorant_coverage_validation():
     ro, rd = pixel_rays(scene.camera, 4, 4)
     with pytest.raises(ValueError, match="cover the box diagonal"):
         pathtrace.render_image(scene, cfg, ro, rd, jax.random.PRNGKey(0))
+
+
+def test_delta_ratio_fully_unbiased_pipeline():
+    """sampler='delta' + transmittance_mode='ratio' (path AND env) is the
+    fully-unbiased ground-truth configuration: renders finite and its mean
+    agrees with the same sampler under the reference's quadrature
+    transmittance within MC tolerance."""
+    base = tiny_config(use_nn=False)
+    base = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera,
+                                         position=(0.0, 0.0, -12.0)))
+
+    def render_mean(path_tm, env_tm, spp):
+        cfg = dataclasses.replace(
+            base,
+            path=dataclasses.replace(
+                base.path, sampler="delta", delta_null_steps=32,
+                max_bounces=8, transmittance_mode=path_tm,
+                ratio_tracking_steps=32),
+            env_map=dataclasses.replace(base.env_map, n_samples=2,
+                                        transmittance_mode=env_tm))
+        scene = tiny_scene(cfg)
+        ro, rd = pixel_rays(scene.camera, 16, 16)
+        acc = 0.0
+        for i in range(spp):
+            rgb, _ = pathtrace.render_image(scene, cfg, ro, rd,
+                                            jax.random.PRNGKey(300 + i))
+            acc = acc + np.asarray(rgb)
+        assert np.isfinite(acc).all()
+        return acc / spp
+
+    img_q = render_mean("quadrature", "quadrature", 12)
+    img_r = render_mean("ratio", "ratio", 12)
+    rel = abs(img_q.mean() - img_r.mean()) / max(img_q.mean(), 1e-6)
+    assert rel < 0.08, (img_q.mean(), img_r.mean())

@@ -138,3 +138,50 @@ def test_density_at_rank_dispatch():
     b = volume.density_at(table, pos, cfg)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(b), 0.7, rtol=1e-6)
+
+
+def test_ratio_tracking_transmittance_unbiased():
+    """ops/volume.transmittance_ratio: E[T_hat] equals the true
+    transmittance (high-resolution quadrature) on a random grid -- the
+    null-collision identity, validated by averaging many keys."""
+    import jax
+
+    key = jax.random.PRNGKey(5)
+    grid = jax.random.uniform(key, (10, 8, 12), minval=0.0, maxval=1.5)
+    cfg = VolumeConfig(grid_shape=(10, 8, 12), box_size=(5.0, 4.0, 6.0),
+                       density_factor=0.8)
+    ka, kb = jax.random.split(jax.random.PRNGKey(9))
+    a = (jax.random.uniform(ka, (32, 3)) - 0.5) * jnp.asarray(cfg.box_size)
+    b = (jax.random.uniform(kb, (32, 3)) - 0.5) * jnp.asarray(cfg.box_size)
+    truth = np.asarray(volume.transmittance(grid, a, b, 4096, cfg))
+    sigma = 0.8 * float(jnp.max(grid)) + 1e-8
+
+    @jax.jit
+    def one(k):
+        return volume.transmittance_ratio(grid, a, b, k, 48, sigma, cfg)
+
+    n_rep = 600
+    acc = np.zeros((32,), np.float64)
+    for i in range(n_rep):
+        acc += np.asarray(one(jax.random.PRNGKey(1000 + i)), np.float64)
+    est = acc / n_rep
+    # per-segment MC error ~ sqrt(Var)/sqrt(n_rep); factors in [0,1] so
+    # Var <= 1/4 -> se <= 0.02; test at 5 se
+    np.testing.assert_allclose(est, truth, atol=0.1)
+    assert abs((est - truth).mean()) < 0.01, (est - truth).mean()
+
+
+def test_ratio_tracking_zero_length_and_empty():
+    import jax
+
+    cfg = VolumeConfig(grid_shape=(4, 4, 4), box_size=(2.0, 2.0, 2.0),
+                       density_factor=0.5)
+    grid = jnp.zeros((4, 4, 4))
+    a = jnp.zeros((5, 3))
+    t = volume.transmittance_ratio(grid, a, a, jax.random.PRNGKey(0), 16,
+                                   1.0, cfg)
+    np.testing.assert_allclose(np.asarray(t), 1.0)
+    b = a + jnp.asarray([0.9, 0.0, 0.0])
+    t2 = volume.transmittance_ratio(grid, a, b, jax.random.PRNGKey(1), 16,
+                                    1.0, cfg)
+    np.testing.assert_allclose(np.asarray(t2), 1.0)  # empty medium
