@@ -275,7 +275,7 @@ def train_ray_pool(scene: Scene, cfg: NRCConfig, key: jax.Array
     positions)."""
     tw, th = cfg.train.train_width, cfg.train.train_height
     over = (max(1, cfg.train.vertex_oversample)
-            if cfg.path.sampler == "collision" else 1)
+            if cfg.path.sampler in ("collision", "delta") else 1)
     ros, rds = [], []
     for i in range(over):
         jk = (jax.random.fold_in(key, i)
@@ -307,7 +307,10 @@ def generate_train_batch_for_rays(scene: Scene, cfg: NRCConfig,
     descriptor-bound gathers far better than the reference's per-thread
     sample loop (nrc-train.comp:1217-1223) translated literally."""
     k_v, k_t = jax.random.split(key)
-    if cfg.path.sampler == "collision":
+    if cfg.path.sampler in ("collision", "delta"):
+        # both route through trace_path_collision (which dispatches on the
+        # sampler): delta trains on UNBIASED binary-branch walks, collision
+        # on the analytic-weight baked-field walks the renderer uses
         return _collision_train_batch(scene, cfg, k_v, k_t, ro, rd,
                                       expanded)
     pos, d = choose_train_vertices(scene, cfg, ro, rd, k_v)

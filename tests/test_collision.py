@@ -547,3 +547,29 @@ def test_delta_ratio_fully_unbiased_pipeline():
     img_r = render_mean("ratio", "ratio", 12)
     rel = abs(img_q.mean() - img_r.mean()) / max(img_q.mean(), 1e-6)
     assert rel < 0.08, (img_q.mean(), img_r.mean())
+
+
+def test_delta_train_batch_and_step():
+    """sampler='delta' now routes train-batch generation through the same
+    RR-cut machinery as 'collision' (unbiased binary-branch walks for both
+    vertex selection and targets): finite targets, in-box vertices, and a
+    finite train step."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import targets
+
+    cfg = tiny_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        path=dataclasses.replace(cfg.path, sampler="delta",
+                                 delta_null_steps=16, max_bounces=8),
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -10.0)))
+    scene = tiny_scene(cfg, density_value=0.8)
+    batch = targets.generate_train_batch(scene, cfg, jax.random.PRNGKey(4))
+    assert np.isfinite(np.asarray(batch.target)).all()
+    half = np.asarray(cfg.volume.box_size) / 2
+    assert (np.abs(np.asarray(batch.pos)) <= half + 1e-3).all()
+
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    state2, mse = nrc.train_step(state, batch.pos, batch.dir, batch.target,
+                                 cfg)
+    assert np.isfinite(float(mse))
