@@ -232,3 +232,24 @@ def test_dp_train_step_mesh8_equals_sharded_single_device():
     np.testing.assert_allclose(np.asarray(state8.hash_table),
                                np.asarray(state1.hash_table),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_dp_delta_frame_step_end_to_end():
+    """The unbiased delta sampler (batched Woodcock, local majorant) also
+    executes under shard_map: full DP train + render step, finite and
+    replicated -- multi-chip parity runs need no special casing."""
+    cfg = dp_collision_config()
+    cfg = dataclasses.replace(
+        cfg, path=dataclasses.replace(cfg.path, sampler="delta",
+                                      delta_null_steps=8,
+                                      delta_majorant="local",
+                                      delta_majorant_cells=(4, 4, 4),
+                                      delta_majorant_samples=8))
+    scene = tiny_scene(cfg)
+    mesh = make_mesh()
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    state, img, mse = dp_frame_step(state, scene, jax.random.PRNGKey(1),
+                                    cfg, mesh)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert np.isfinite(float(mse))
