@@ -287,6 +287,7 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             # -- or n_null can drop ~4x for the same one.
             # Reference baseline being improved on: the quadrature
             # free-flight march of nrc-train.comp:1032-1053,1164-1167.
+            ln = s.pos.shape[0]  # lane count (n, or m1 after a march split)
             _, t_far, _ = volume_ops.ray_aabb(s.pos, s.dir, vol.box_size,
                                               vol.box_center)
             if pt.delta_majorant == "local":
@@ -296,7 +297,7 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                       + (fr[:, None] * t_far[None])[..., None] * s.dir[None])
                 sigma_maj = (vol.density_factor
                              * jnp.max(maj_lookup(sp.reshape(-1, 3))
-                                       .reshape(m, n), axis=0) + 1e-8)
+                                       .reshape(m, ln), axis=0) + 1e-8)
             else:
                 # global: trilinear interpolation never exceeds the grid max
                 sigma_maj = (vol.density_factor
@@ -311,17 +312,17 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             xc = (s.pos[None]
                   + jnp.minimum(t_cand, t_far[None])[..., None] * s.dir[None])
             dens = volume_ops.density_at(
-                scene.density, xc.reshape(-1, 3), vol).reshape(n_null, n)
+                scene.density, xc.reshape(-1, 3), vol).reshape(n_null, ln)
             acc = (t_cand <= t_far[None]) & (u_null[:, 1] * sigma_maj < dens)
             found = jnp.any(acc, axis=0)
             kidx = jnp.argmax(acc, axis=0)
             t = jnp.take_along_axis(t_cand, kidx[None], axis=0)[0]
             alive = ~s.done & found
-            p_sc = jnp.ones((n,), dtype)  # branch already sampled binarily
+            p_sc = jnp.ones((ln,), dtype)  # branch already sampled binarily
             # first-step escape <=> the transmitted-env photon survives:
             # tau0 = 0 (T0 = 1) on escape, inf (T0 = 0) on collision
             tau_first = jnp.where(found, jnp.asarray(jnp.inf, dtype),
-                                  jnp.zeros((n,), dtype))
+                                  jnp.zeros((ln,), dtype))
         else:
             tau, knots = collision.query_collision_rows(scene.coll_field,
                                                         s.pos, s.dir, vol)

@@ -573,3 +573,37 @@ def test_delta_train_batch_and_step():
     state2, mse = nrc.train_step(state, batch.pos, batch.dir, batch.target,
                                  cfg)
     assert np.isfinite(float(mse))
+
+
+def test_delta_with_march_split():
+    """The delta branch is lane-count agnostic: enabling the march split
+    (live lanes compacted to a fraction mid-walk) renders finite with the
+    same mean as the unsplit walk."""
+    base = tiny_config(use_nn=False)
+    base = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera,
+                                         position=(0.0, 0.0, -12.0)))
+
+    def render_mean(p1, frac, spp):
+        cfg = dataclasses.replace(
+            base, path=dataclasses.replace(
+                base.path, sampler="delta", delta_null_steps=16,
+                max_bounces=8, coll_weight_rr=1e-4,
+                coll_nonn_phase1_steps=p1, coll_nonn_live_fraction=frac))
+        scene = tiny_scene(cfg)
+        # 48x48 = 2304 rays > the 1024-lane compaction floor, so the split
+        # REALLY shrinks the lane count mid-walk (1152 lanes)
+        ro, rd = pixel_rays(scene.camera, 48, 48)
+        acc = 0.0
+        for i in range(spp):
+            rgb, _ = pathtrace.render_image(scene, cfg, ro, rd,
+                                            jax.random.PRNGKey(400 + i))
+            acc = acc + np.asarray(rgb)
+        assert np.isfinite(acc).all()
+        return acc / spp
+
+    img_plain = render_mean(0, 0.0, 4)
+    img_split = render_mean(3, 0.5, 4)
+    rel = abs(img_plain.mean() - img_split.mean()) / max(img_plain.mean(),
+                                                         1e-6)
+    assert rel < 0.1, (img_plain.mean(), img_split.mean())
