@@ -55,6 +55,15 @@ def main():
         render=dataclasses.replace(cfg.render, width=width, height=height,
                                    spp=spp, use_nn=True),
     )
+    # BENCH_SAMPLER=delta benches the unbiased batched-Woodcock walk
+    # (BENCH_DELTA_MAJORANT/BENCH_DELTA_STEPS tune it) for A/B against the
+    # default collision field; the headline stays the shipped default
+    sampler = os.environ.get("BENCH_SAMPLER")
+    if sampler:
+        cfg = dataclasses.replace(cfg, path=dataclasses.replace(
+            cfg.path, sampler=sampler,
+            delta_majorant=os.environ.get("BENCH_DELTA_MAJORANT", "local"),
+            delta_null_steps=int(os.environ.get("BENCH_DELTA_STEPS", 16))))
 
     density = assets.load_cloud()
     env_img = assets.load_env_map()
@@ -323,7 +332,7 @@ def quality_metrics(cfg, scene, state):
         "cap_bias_mean_delta": round(float(a.mean() - b.mean())
                                      / max(float(b.mean()), 1e-9), 6),
     }
-    if qcfg.path.sampler == "collision":
+    if qcfg.path.sampler in ("collision", "delta"):
         out.update(cache_quality(qcfg, scene, st))
     return out
 
@@ -399,6 +408,11 @@ def cache_quality(qcfg, scene, st, n_points=8192, samples=32, bins=16):
     keep = np.asarray(cnt) >= 64  # bins with enough samples to converge
     t_m = np.asarray(t_bin)[keep] / np.asarray(cnt)[keep][:, None]
     p_m = np.asarray(p_bin)[keep] / np.asarray(cnt)[keep][:, None]
+    if not keep.any():
+        # tiny probes (or low-query samplers at tiny sizes) can leave every
+        # bin under-occupied; emit null, never NaN, in the driver JSON
+        return {"cache_rel_err_binned": None, "cache_bins_used": 0,
+                "cache_probe_points": int(np.asarray(val.sum()))}
     rel = float(np.sqrt(np.mean((p_m - t_m) ** 2))
                 / max(np.sqrt(np.mean(t_m ** 2)), 1e-9))
     return {

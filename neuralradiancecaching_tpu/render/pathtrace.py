@@ -767,9 +767,11 @@ def trace_path(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
 def shade_deferred(cfg: NRCConfig) -> bool:
     """True when band shading is deferred to the frame-global finish pass:
-    collision sampler + deterministic 'field' light modes (the deferred
-    shade draws no randomness, so moving it out of the bands is exact)."""
-    return (cfg.path.sampler == "collision" and cfg.path.defer_shade
+    collision-or-delta sampler + deterministic 'field' light modes (the
+    deferred shade draws no randomness, so moving it out of the bands is
+    exact; both samplers record prefix-shaped (pos, dir, weight) events)."""
+    return (cfg.path.sampler in ("collision", "delta")
+            and cfg.path.defer_shade
             and cfg.env_map.in_scatter_mode == "field"
             and cfg.path.transmittance_mode == "field")
 

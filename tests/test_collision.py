@@ -607,3 +607,36 @@ def test_delta_with_march_split():
     rel = abs(img_plain.mean() - img_split.mean()) / max(img_plain.mean(),
                                                          1e-6)
     assert rel < 0.1, (img_plain.mean(), img_split.mean())
+
+
+def test_delta_deferred_matches_inband():
+    """Delta sampler through the production deferred pipeline (banded
+    march, frame-global shade/query finish): equals the in-band shaded
+    render -- the deferral is exact for delta too (prefix-shaped events,
+    randomness-free field shading)."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import tiled
+
+    cfg = tiny_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        path=dataclasses.replace(cfg.path, sampler="delta",
+                                 delta_null_steps=16, max_bounces=8),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field",
+                                    transmittance_mode="field"),
+        volume=dataclasses.replace(cfg.volume, field_shape=(4, 4, 4)),
+        render=dataclasses.replace(cfg.render, width=16, height=16),
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -12.0)))
+    assert pathtrace.shade_deferred(cfg)
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    img_banded = tiled.render_banded(state, scene, jax.random.PRNGKey(5),
+                                     cfg, band_rows=4)
+    cfg_in = dataclasses.replace(
+        cfg, path=dataclasses.replace(cfg.path, defer_shade=False))
+    assert not pathtrace.shade_deferred(cfg_in)
+    img_in = tiled.render_banded(state, scene, jax.random.PRNGKey(5),
+                                 cfg_in, band_rows=4)
+    assert np.isfinite(np.asarray(img_banded)).all()
+    np.testing.assert_allclose(np.asarray(img_banded), np.asarray(img_in),
+                               rtol=3e-4, atol=3e-4)
