@@ -251,6 +251,9 @@ def cmd_progressive(args) -> None:
                                    aspect=args.width / args.height),
         render=dataclasses.replace(cfg.render, width=args.width,
                                    height=args.height))
+    if getattr(args, "sampler", None) and args.sampler != cfg.path.sampler:
+        cfg = dataclasses.replace(cfg, path=dataclasses.replace(
+            cfg.path, sampler=args.sampler))
     scene = make_scene(cfg, assets.load_cloud(), assets.load_env_map())
     state = nrc.init_state(jax.random.PRNGKey(args.seed), cfg)
     log = MetricsLogger(args.metrics)
@@ -404,6 +407,11 @@ def main(argv=None) -> None:
                          "K frames ahead between syncs")
     sp.add_argument("--mesh", type=str, default="off",
                     help="data-parallel mesh: off | auto (all devices) | N")
+    sp.add_argument("--sampler", type=str, default=None,
+                    choices=["reference", "collision", "delta"],
+                    help="distance sampler override (delta = unbiased "
+                         "batched Woodcock; runs the same deferred "
+                         "production pipeline)")
     sp.set_defaults(fn=cmd_progressive)
 
     args = p.parse_args(argv)

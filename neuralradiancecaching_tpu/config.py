@@ -352,19 +352,23 @@ class PathTraceConfig:
     # null-collision candidates per scatter event for sampler='delta'.
     # The candidates are batched (cumsum of iid exponentials -> ONE
     # density gather of delta_null_steps * n rows; render/pathtrace.py),
-    # so this is a rows knob, not a sequential-steps knob. A walk that
+    # so this is a rows knob, not a sequential-steps knob -- and the
+    # dominant cost knob of delta runs (the train-side target walk gathers
+    # target_bounces * delta_null_steps * n rows per batch). A walk that
     # exhausts the budget while still inside the box counts as an escape:
-    # P(exhaust) ~ (1 - sigma_mean/sigma_maj)^delta_null_steps,
-    # negligible at 64 with the global majorant for the cloud scene (and
-    # far smaller at the same budget with delta_majorant='local').
-    delta_null_steps: int = 64
+    # P(exhaust) ~ (1 - sigma_mean/sigma_maj)^delta_null_steps. Defaults:
+    # 24 candidates under the LOCAL majorant -- validated on the real
+    # cloud (train-target means of local-16/24 match global-64 within
+    # 1 MC se; tests + the A/B in this file's ledger pointer). Use 64
+    # with delta_majorant='global'.
+    delta_null_steps: int = 24
     # majorant for sampler='delta': 'global' = density_factor * max(grid);
     # 'local' = per-event segment bound from a dilated coarse max grid
     # (ops/volume.py majorant_grid) sampled at delta_majorant_samples
     # midpoints (one extra batched nearest-cell gather per event). A
     # tighter majorant stretches the candidate exponentials, so fewer
     # delta_null_steps cover the same exhaust probability.
-    delta_majorant: str = "global"
+    delta_majorant: str = "local"
     delta_majorant_cells: Tuple[int, int, int] = (8, 6, 10)
     # midpoint samples per event segment; must cover the box diagonal at
     # one coarse-cell-edge spacing (validated at trace time)
