@@ -449,6 +449,17 @@ class PathTraceConfig:
     # without) -- default OFF, selectable for much deeper walks.
     coll_nonn_phase1_steps: int = 8
     coll_nonn_live_fraction: float = 0.0
+    # the DELTA no-NN walk's own split (binary escape retires lanes
+    # naturally -- no weight-RR needed): measured on the real cloud, the
+    # 64-slot target walk averages 3.2 events/ray with 1.4% of lanes
+    # alive at slot 8 and ~0 by slot 12, yet each full-width slot gathers
+    # delta_null_steps * n density rows. Packing the survivors to
+    # delta_live_fraction * n lanes after delta_phase1_steps cuts the
+    # dominant gather rows ~4x; the 1/8 cap is ~9x above the measured
+    # survivor fraction (overflow would truncate tails like the collision
+    # split -- same semantics, same validation). 0 disables.
+    delta_phase1_steps: int = 8
+    delta_live_fraction: float = 0.125
     # collision-mode event-shade budget (events per ray): prefix-pack the
     # valid events (ops/compact.py compact_prefix) and shade once, instead
     # of dense K-slot shading. MEASURED at reference train settings: cap 4

@@ -395,6 +395,12 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     if use_nn:
         p1 = cfg.path.coll_phase1_steps
         live_frac = cfg.path.coll_live_fraction
+    elif delta:
+        # binary escape retires delta lanes without weight-RR, and each
+        # full-width slot gathers delta_null_steps * n rows -- the split
+        # pays here where it measured net-negative for collision
+        p1 = cfg.path.delta_phase1_steps
+        live_frac = cfg.path.delta_live_fraction
     else:
         p1 = cfg.path.coll_nonn_phase1_steps
         live_frac = (cfg.path.coll_nonn_live_fraction
