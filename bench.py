@@ -8,7 +8,9 @@ vs_baseline >= 1.0 means the north star is met.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Env knobs: BENCH_WIDTH/BENCH_HEIGHT/BENCH_FRAMES/BENCH_SPP/BENCH_BAND.
+Env knobs: BENCH_WIDTH/BENCH_HEIGHT/BENCH_FRAMES/BENCH_SPP/BENCH_BAND,
+BENCH_SAMPLER/BENCH_DELTA_*, BENCH_DIR_BUCKETS (collision-field direction
+resolution A/B).
 """
 
 import dataclasses
@@ -64,6 +66,15 @@ def main():
             cfg.path, sampler=sampler,
             delta_majorant=os.environ.get("BENCH_DELTA_MAJORANT", "local"),
             delta_null_steps=int(os.environ.get("BENCH_DELTA_STEPS", 16))))
+    # BENCH_DIR_BUCKETS="32,64" A/Bs the collision-field direction
+    # resolution (the shipped bias knob, VolumeConfig.field_dir_buckets:
+    # 2x buckets halves the baked-field bias at 4x bake time with
+    # UNCHANGED query row cost -- docs/PERFORMANCE.md bias localization)
+    dir_buckets = os.environ.get("BENCH_DIR_BUCKETS")
+    if dir_buckets:
+        db = tuple(int(x) for x in dir_buckets.split(","))
+        cfg = dataclasses.replace(cfg, volume=dataclasses.replace(
+            cfg.volume, field_dir_buckets=db))
 
     density = assets.load_cloud()
     env_img = assets.load_env_map()

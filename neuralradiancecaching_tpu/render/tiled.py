@@ -182,26 +182,35 @@ def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
     n_bands_p = max(1, -(-int(n * cfg.render.live_pack_fraction) // band_n))
     capm = min(n_bands_p * band_n, n)
     sel, val = compact.compact_select(live, capm)
-    ro_p = jnp.take(ro, sel, axis=0)
-    rd_p = jnp.take(rd, sel, axis=0)
+    ro_p = jnp.take(ro, sel, axis=0).reshape(-1, band_n, 3)
+    rd_p = jnp.take(rd, sel, axis=0).reshape(-1, band_n, 3)
+
+    # in-program spp over the PACKED lanes: the live mask is per pixel ray
+    # (the spp copies share origin/direction, only the walk keys differ --
+    # TracePathMultiple semantics, nrc-forward.frag:824-834), so one pack
+    # serves all copies and the spp expansion marches spp * capm lanes
+    # instead of spp * n -- quality runs keep the full live-pack saving
+    spp = cfg.render.spp
+    if spp > 1:
+        ro_p = jnp.tile(ro_p, (spp, 1, 1))  # copy-major, like _bands_program
+        rd_p = jnp.tile(rd_p, (spp, 1, 1))
 
     def band(args):
         i, ro_i, rd_i = args
         return pathtrace.render_band_deferred(scene, cfg, ro_i, rd_i,
                                               jax.random.fold_in(key, i))
 
-    ids = jnp.arange(capm // band_n, dtype=jnp.int32)
-    rgb, trans, qp, qd, qw, ev = jax.lax.map(
-        band, (ids, ro_p.reshape(-1, band_n, 3),
-               rd_p.reshape(-1, band_n, 3)))
+    ids = jnp.arange(spp * (capm // band_n), dtype=jnp.int32)
+    rgb, trans, qp, qd, qw, ev = jax.lax.map(band, (ids, ro_p, rd_p))
     rgb = rgb.reshape(-1, 3)
     trans = trans.reshape(-1)
     qp, qd = qp.reshape(-1, 3), qd.reshape(-1, 3)
     # padding lanes marched duplicate rays -- mask their outputs
-    qw = jnp.where(val, qw.reshape(-1), 0.0)
-    ev = ev.reshape((capm,) + ev.shape[2:])
+    val_s = jnp.tile(val, spp) if spp > 1 else val
+    qw = jnp.where(val_s, qw.reshape(-1), 0.0)
+    ev = ev.reshape((spp * capm,) + ev.shape[2:])
     if ev.shape[1] > 0:
-        ev = jnp.where(val[:, None, None], ev, jnp.zeros((), ev.dtype))
+        ev = jnp.where(val_s[:, None, None], ev, jnp.zeros((), ev.dtype))
     return sel, val, rgb, trans, qp, qd, qw, ev
 
 
@@ -216,8 +225,17 @@ def _finish_packed(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
         return nrc.query_baked(state, baked, qpos, qdir, cfg)
 
     n = cfg.render.width * cfg.render.height
+    spp = cfg.render.spp
+    # cap fractions stay frame-relative: spp copies record spp x the
+    # frame-mean query/event counts
     rgb_p = pathtrace.shade_and_query(scene, cfg, rgb_p, qp, qd, qw,
-                                      query_fn, events=ev, cap_n=n)
+                                      query_fn, events=ev, cap_n=spp * n)
+    if spp > 1:
+        # mean over the sample-major copies BEFORE the scatter-back: the
+        # pack indices are shared by every copy and the env composite is
+        # linear in (rgb, trans), so mean-then-scatter == scatter-then-mean
+        rgb_p = rgb_p.reshape(spp, -1, 3).mean(axis=0)
+        trans_p = trans_p.reshape(spp, -1).mean(axis=0)
     rgb = compact.scatter_back(n, sel, val, rgb_p, 0.0)
     trans = compact.scatter_back(n, sel, val, trans_p, 1.0)
     if env_rgb is None:
@@ -252,7 +270,7 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     if baked is None:
         baked = nrc.bake(state, cfg)
     if (cfg.render.live_pack_fraction > 0.0 and pathtrace.shade_deferred(cfg)
-            and not cfg.render.show_non_nn and cfg.render.spp == 1):
+            and not cfg.render.show_non_nn):
         sel, val, rgb_p, trans_p, qp, qd, qw, ev = _packed_bands_program(
             scene, key, cfg, band_rows)
         out = _finish_packed(state, baked, scene, sel, val, rgb_p, trans_p,

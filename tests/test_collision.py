@@ -298,6 +298,45 @@ def test_live_pack_matches_unpacked():
         np.testing.assert_allclose(a[~live], b[~live], atol=1e-5)
 
 
+def test_live_pack_spp_matches_unpacked_spp():
+    """In-program spp>1 through the PACKED pipeline == the unpacked spp
+    expansion. With band_rows=1 the band key folds coincide (unpacked
+    folds y0 = band_index * band_rows, packed folds the virtual band id;
+    both enumerate copy-major), so an all-live frame with pack cap 1.0 is
+    identity packing with identical RNG streams -- outputs must agree to
+    float-reassociation tolerance (the packed finish averages the copies
+    BEFORE the scatter-back; both finishes are linear in rgb/trans)."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render.tiled import render_banded
+
+    cfg = _coll_config(use_nn=True, spp=2)
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -12.0)),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field"))
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(5)
+
+    cfg_packed = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, live_pack_fraction=1.0))
+    a = np.asarray(render_banded(state, scene, k, cfg, band_rows=1))
+    b = np.asarray(render_banded(state, scene, k, cfg_packed, band_rows=1))
+    assert np.isfinite(b).all()
+
+    from neuralradiancecaching_tpu.ops import lightfield
+    ro, rd = pixel_rays(scene.camera, 8, 8)
+    entry, _, hit = vol_ops.entry_exit_points(ro, rd, cfg.volume.box_size,
+                                              cfg.volume.box_center)
+    tau0 = lightfield.query_tau_field(scene.env_t_field, entry, rd,
+                                      cfg.volume)
+    live = np.asarray(hit & (tau0 > 1e-4)).reshape(8, 8)
+    if live.all():
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    else:
+        np.testing.assert_allclose(a[~live], b[~live], atol=1e-5)
+
+
 def test_delta_sampler_matches_collision_mean():
     """sampler='delta' (true Woodcock null-collision tracking, unbiased) vs
     sampler='collision' (baked inverse-CDF field): same scene, same
