@@ -159,15 +159,22 @@ def main():
     # cache state; a training run re-bakes every N frames). Both are part
     # of render_banded when not supplied, so correctness paths are
     # unchanged -- this is the production progressive-frame shape.
-    from neuralradiancecaching_tpu.render.tiled import frame_env_color
+    from neuralradiancecaching_tpu.render.tiled import (frame_env_color,
+                                                        frame_live_pack)
     env_rgb = frame_env_color(scene, cfg)
     baked = nrc.bake(state, cfg)
+    # ... and the live-ray pack itself (sel + packed rays): the live mask
+    # is deterministic per pose, so the full-frame compact_select + ray
+    # gathers move off the per-frame path too (frame_live_pack docstring)
+    live_pack = (frame_live_pack(scene, cfg, band)
+                 if band and pack > 0.0 else None)
     np.asarray(env_rgb.sum())
 
     def run(key, sync=True):
         if band and not host_tiled:
             img = render_banded(state, scene, key, cfg, band_rows=band,
-                                env_rgb=env_rgb, baked=baked)
+                                env_rgb=env_rgb, baked=baked,
+                                pack=live_pack)
         elif band:
             img = render_tiled(state, scene, key, cfg, band_rows=band)
         else:

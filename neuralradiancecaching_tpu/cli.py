@@ -267,7 +267,9 @@ def cmd_progressive(args) -> None:
     # dispatches run PIPELINED -- one hard sync per --sync-every frames
     # (measured +6%; device execution is in-order).
     from neuralradiancecaching_tpu.models import nrc as nrc_mod
-    from neuralradiancecaching_tpu.render.tiled import frame_env_color
+    from neuralradiancecaching_tpu.render.tiled import (frame_env_color,
+                                                        frame_live_pack,
+                                                        live_fraction)
 
     mesh = _mesh_from_arg(getattr(args, "mesh", None))
     n_dev = mesh.devices.size if mesh is not None else 1
@@ -275,7 +277,7 @@ def cmd_progressive(args) -> None:
     banded = band is not None
     accum = jnp.zeros((args.height, args.width, 3), jnp.float32)
     n_accum = 0
-    env_rgb = baked = None
+    env_rgb = baked = live_pack = None
     win_t0, win_i = time.perf_counter(), 0
     for i in range(args.frames):
         cam_step = i // args.move_every
@@ -289,6 +291,28 @@ def cmd_progressive(args) -> None:
             accum = jnp.zeros_like(accum)
             n_accum = 0
             env_rgb = frame_env_color(scene, cfg) if banded else None
+            # --live-pack: tune the frame-global live-ray pack from the
+            # EXACT pose-static entry-tau mask (drop-free by construction;
+            # the headline bench lever, docs/PERFORMANCE.md). Coarse 1/8
+            # cap rounding keeps the jitted program shape stable across
+            # camera moves (a cap change retraces the banded program).
+            from neuralradiancecaching_tpu.render import pathtrace
+            if (banded and mesh is None and args.live_pack != "off"
+                    and pathtrace.shade_deferred(cfg)):
+                frac = (live_fraction(scene, cfg)
+                        if args.live_pack == "auto"
+                        else float(args.live_pack))
+                cap = min(1.0, float(np.ceil((frac * 1.05 + 0.005) / 0.125)
+                                     * 0.125))
+                if cap != cfg.render.live_pack_fraction:
+                    cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+                        cfg.render, live_pack_fraction=cap))
+            # the live-ray pack is pose-static too (deterministic
+            # entry-tau mask) -- hoist it with the env composite; the
+            # single-device banded path uses it, DP stripes whole bands
+            live_pack = (frame_live_pack(scene, cfg, band)
+                         if banded and mesh is None
+                         and cfg.render.live_pack_fraction > 0.0 else None)
         key = jax.random.PRNGKey(args.seed * 31 + i)
         rebake = baked is None or i % max(args.bake_every, 1) == 0
         if mesh is not None and banded:
@@ -309,7 +333,8 @@ def cmd_progressive(args) -> None:
             if rebake:
                 baked = nrc_mod.bake(state, cfg)
             img = render_banded(state, scene, k2, cfg, band_rows=band,
-                                env_rgb=env_rgb, baked=baked)
+                                env_rgb=env_rgb, baked=baked,
+                                pack=live_pack)
         else:
             state, out = frame_mod.frame_step(state, scene, key, cfg)
             img, mse = out.image, out.mse
@@ -412,6 +437,12 @@ def main(argv=None) -> None:
                     help="distance sampler override (delta = unbiased "
                          "batched Woodcock; runs the same deferred "
                          "production pipeline)")
+    sp.add_argument("--live-pack", dest="live_pack", type=str,
+                    default="auto",
+                    help="frame-global live-ray packing: auto (probe the "
+                         "exact pose-static live fraction, drop-free), a "
+                         "fraction, or off. Single-device banded path "
+                         "only; ignored for non-deferred pipelines")
     sp.set_defaults(fn=cmd_progressive)
 
     args = p.parse_args(argv)

@@ -159,13 +159,39 @@ def _bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
     return jax.lax.map(band, (y0s, ro_b, rd_b))
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _live_mask_mean(scene: Scene, cfg: NRCConfig) -> jnp.ndarray:
+    from neuralradiancecaching_tpu.ops import lightfield
+    from neuralradiancecaching_tpu.ops import volume as volume_ops
+    vol = cfg.volume
+    ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+    entry, _, hit = volume_ops.entry_exit_points(ro, rd, vol.box_size,
+                                                 vol.box_center)
+    tau0 = lightfield.query_tau_field(scene.env_t_field, entry, rd, vol)
+    return jnp.mean((hit & (tau0 > 1e-4)).astype(jnp.float32))
+
+
+def live_fraction(scene: Scene, cfg: NRCConfig) -> float:
+    """EXACT fraction of pixel rays with nonzero optical depth at entry
+    for the current camera pose (deterministic: analytic AABB entry +
+    baked tau-field gather, no RNG). Any live_pack_fraction >= this is
+    drop-free -- the probe bench.py and the progressive CLI use to tune
+    the frame-global live-ray pack."""
+    return float(np.asarray(_live_mask_mean(scene, cfg)))
+
+
 @partial(jax.jit, static_argnames=("cfg", "band_rows"))
-def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
-                          band_rows: int):
-    """Frame-global live-ray packing (RenderConfig.live_pack_fraction):
-    one tau-field gather over the whole frame retires rays with zero
-    optical depth at entry (analytically exact: T0 = 1, pure env), the
-    march runs banded over only the packed live rays."""
+def frame_live_pack(scene: Scene, cfg: NRCConfig, band_rows: int = 54):
+    """Pose-static live-ray pack (sel, val, ro_p, rd_p) for the packed
+    bands program.
+
+    The live mask is DETERMINISTIC per camera pose (analytic AABB entry +
+    baked tau-field gather, no RNG), so the full-frame compact_select
+    (~38 ms at 1080p, docs/PERFORMANCE.md finish decomposition) and the
+    two packed-ray gathers are static across every frame rendered from
+    one pose. Progressive/bench loops compute this once per pose and pass
+    it to :func:`render_banded` (recompute on camera move), exactly like
+    ``frame_env_color``/``baked``."""
     from neuralradiancecaching_tpu.ops import compact, lightfield
     from neuralradiancecaching_tpu.ops import volume as volume_ops
 
@@ -184,6 +210,27 @@ def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
     sel, val = compact.compact_select(live, capm)
     ro_p = jnp.take(ro, sel, axis=0).reshape(-1, band_n, 3)
     rd_p = jnp.take(rd, sel, axis=0).reshape(-1, band_n, 3)
+    return sel, val, ro_p, rd_p
+
+
+@partial(jax.jit, static_argnames=("cfg", "band_rows"))
+def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
+                          band_rows: int, pack=None):
+    """Frame-global live-ray packing (RenderConfig.live_pack_fraction):
+    one tau-field gather over the whole frame retires rays with zero
+    optical depth at entry (analytically exact: T0 = 1, pure env), the
+    march runs banded over only the packed live rays.
+
+    pack: precomputed :func:`frame_live_pack` (pose-static); computed
+    in-program when not supplied."""
+    w = cfg.render.width
+    if pack is None:
+        pack = frame_live_pack(scene, cfg, band_rows)
+    sel, val, ro_p, rd_p = pack
+    band_n = band_rows * w
+    capm = ro_p.shape[0] * band_n
+    ro_p = ro_p.reshape(-1, band_n, 3)
+    rd_p = rd_p.reshape(-1, band_n, 3)
 
     # in-program spp over the PACKED lanes: the live mask is per pixel ray
     # (the spp copies share origin/direction, only the walk keys differ --
@@ -247,7 +294,7 @@ def _finish_packed(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
 
 def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
                   cfg: NRCConfig, band_rows: int = 54,
-                  env_rgb=None, baked=None) -> jnp.ndarray:
+                  env_rgb=None, baked=None, pack=None) -> jnp.ndarray:
     """Whole frame as TWO jitted programs: ``lax.map`` over row bands for
     the march+shade, then a frame-global compacted cache query. (One fused
     program exceeds the axon remote compile helper's size limit at 1080p;
@@ -260,6 +307,8 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     baked: precomputed ``nrc.bake(state, cfg)`` -- pass it when rendering
     several frames from one cache state (bench) or baking every N frames
     of a training run (cache drift per frame is tiny at production lr).
+    pack: precomputed :func:`frame_live_pack` (static per camera pose,
+    same band_rows/live_pack_fraction as this call).
     """
     h, w = cfg.render.height, cfg.render.width
     assert h % band_rows == 0, (h, band_rows)
@@ -272,7 +321,7 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     if (cfg.render.live_pack_fraction > 0.0 and pathtrace.shade_deferred(cfg)
             and not cfg.render.show_non_nn):
         sel, val, rgb_p, trans_p, qp, qd, qw, ev = _packed_bands_program(
-            scene, key, cfg, band_rows)
+            scene, key, cfg, band_rows, pack)
         out = _finish_packed(state, baked, scene, sel, val, rgb_p, trans_p,
                              qp, qd, qw, ev, cfg, env_rgb)
         return out.reshape(h, w, 3)

@@ -337,6 +337,29 @@ def test_live_pack_spp_matches_unpacked_spp():
         np.testing.assert_allclose(a[~live], b[~live], atol=1e-5)
 
 
+def test_live_pack_hoisted_matches_inprogram():
+    """render_banded(pack=frame_live_pack(...)) == pack=None: the pack is
+    deterministic per camera pose, so hoisting it out of the per-frame
+    program (the ~38 ms full-frame compact_select + ray gathers,
+    docs/PERFORMANCE.md) must be bitwise-neutral."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render.tiled import (frame_live_pack,
+                                                        render_banded)
+
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, live_pack_fraction=0.5))
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(5)
+
+    a = np.asarray(render_banded(state, scene, k, cfg, band_rows=2))
+    pack = frame_live_pack(scene, cfg, 2)
+    b = np.asarray(render_banded(state, scene, k, cfg, band_rows=2,
+                                 pack=pack))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_delta_sampler_matches_collision_mean():
     """sampler='delta' (true Woodcock null-collision tracking, unbiased) vs
     sampler='collision' (baked inverse-CDF field): same scene, same
