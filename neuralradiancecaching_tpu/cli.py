@@ -297,7 +297,7 @@ def cmd_progressive(args) -> None:
             # cap rounding keeps the jitted program shape stable across
             # camera moves (a cap change retraces the banded program).
             from neuralradiancecaching_tpu.render import pathtrace
-            if (banded and mesh is None and args.live_pack != "off"
+            if (banded and args.live_pack != "off"
                     and pathtrace.shade_deferred(cfg)):
                 frac = (live_fraction(scene, cfg)
                         if args.live_pack == "auto"
@@ -308,10 +308,13 @@ def cmd_progressive(args) -> None:
                     cfg = dataclasses.replace(cfg, render=dataclasses.replace(
                         cfg.render, live_pack_fraction=cap))
             # the live-ray pack is pose-static too (deterministic
-            # entry-tau mask) -- hoist it with the env composite; the
-            # single-device banded path uses it, DP stripes whole bands
-            live_pack = (frame_live_pack(scene, cfg, band)
-                         if banded and mesh is None
+            # entry-tau mask) -- hoist it with the env composite. On a
+            # mesh the pack's band count rounds up to the device count
+            # (whole packed bands stripe across devices,
+            # dp_render_banded_packed)
+            live_pack = (frame_live_pack(scene, cfg, band,
+                                         multiple_of=n_dev)
+                         if banded
                          and cfg.render.live_pack_fraction > 0.0 else None)
         key = jax.random.PRNGKey(args.seed * 31 + i)
         rebake = baked is None or i % max(args.bake_every, 1) == 0
@@ -320,7 +323,8 @@ def cmd_progressive(args) -> None:
                 dp_train_banded_frame)
             state, img, mse, baked2 = dp_train_banded_frame(
                 state, scene, key, cfg, mesh, band_rows=band,
-                env_rgb=env_rgb, baked=None if rebake else baked)
+                env_rgb=env_rgb, baked=None if rebake else baked,
+                pack=live_pack)
             if rebake:
                 baked = baked2
         elif mesh is not None:
@@ -441,8 +445,9 @@ def main(argv=None) -> None:
                     default="auto",
                     help="frame-global live-ray packing: auto (probe the "
                          "exact pose-static live fraction, drop-free), a "
-                         "fraction, or off. Single-device banded path "
-                         "only; ignored for non-deferred pipelines")
+                         "fraction, or off. Banded paths only (single "
+                         "device + mesh); ignored for non-deferred "
+                         "pipelines")
     sp.set_defaults(fn=cmd_progressive)
 
     args = p.parse_args(argv)

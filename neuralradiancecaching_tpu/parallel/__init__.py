@@ -11,5 +11,5 @@ reduction.
 from neuralradiancecaching_tpu.parallel.mesh import (  # noqa: F401
     default_mesh, make_mesh)
 from neuralradiancecaching_tpu.parallel.data_parallel import (  # noqa: F401
-    dp_frame_step, dp_render, dp_render_banded, dp_train_banded_frame,
-    dp_train_step)
+    dp_frame_step, dp_render, dp_render_banded, dp_render_banded_packed,
+    dp_train_banded_frame, dp_train_step)

@@ -114,6 +114,106 @@ def dp_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "band_rows"))
+def dp_render_banded_packed(state: nrc.NRCState, scene: Scene,
+                            key: jax.Array, cfg: NRCConfig, mesh,
+                            band_rows: int = 54, env_rgb=None, baked=None,
+                            pack=None) -> jnp.ndarray:
+    """Frame-global live-ray packing on a mesh: the pose-static pack
+    (render.tiled.frame_live_pack, multiple_of = mesh size) groups the
+    live rays into virtual bands, whole packed bands stripe across
+    devices (device d takes packed bands d, d+n, ...), each device
+    marches + shades + queries only its live lanes, and the finish
+    scatters the packed results back to pixel order globally.
+
+    Bit-parity with the single-chip packed path: bands are keyed by their
+    GLOBAL packed band id (exactly the fold_in ids of
+    tiled._packed_bands_program), and a multiple_of=N pack only APPENDS
+    padding bands vs the multiple_of=1 pack -- so mesh(1), mesh(8), and
+    render_banded(pack=...) all produce the same image for the same pack.
+
+    Per-shard caps: each device's lanes are contiguous packed bands, so
+    per-shard event/query fractions track the frame mean the same way
+    band striping does (see dp_render_banded's cap note; keep drop-free
+    cap defaults on a mesh unless per-shard fractions were probed)."""
+    from neuralradiancecaching_tpu.ops import compact
+    from neuralradiancecaching_tpu.ops import envmap as envmap_ops
+    from neuralradiancecaching_tpu.render import tiled
+
+    h, w = cfg.render.height, cfg.render.width
+    n = h * w
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if h % (n_dev * band_rows) != 0:
+        raise ValueError(
+            f"height {h} must divide into {n_dev} devices x {band_rows}-row "
+            f"bands")
+    if pack is None:
+        pack = tiled.frame_live_pack(scene, cfg, band_rows,
+                                     multiple_of=n_dev)
+    sel, val, ro_p, rd_p = pack
+    band_n = band_rows * w
+    n_bands_p = ro_p.shape[0]
+    if n_bands_p % n_dev != 0:
+        raise ValueError(
+            f"packed band count {n_bands_p} must be divisible by the mesh "
+            f"size {n_dev}; build the pack with multiple_of=mesh size")
+    if baked is None:
+        baked = nrc.bake(state, cfg)
+
+    # stripe packed bands: device d holds packed bands d, d+n_dev, ...
+    band_of_dev = np.arange(n_bands_p).reshape(-1, n_dev).T.reshape(-1)
+    inverse = np.argsort(band_of_dev)
+    ro_s = ro_p[band_of_dev]
+    rd_s = rd_p[band_of_dev]
+    val_s = val.reshape(n_bands_p, band_n)[band_of_dev].reshape(-1)
+    band_ids = jnp.asarray(band_of_dev.reshape(n_dev, -1), jnp.int32)
+
+    def body(s, bk, sc, k, ro_l, rd_l, ids_l, val_l):
+        def band(args):
+            gid, ro_i, rd_i = args
+            # key by GLOBAL packed band id == the single-chip packed
+            # program's fold_in ids -> image independent of mesh size
+            return pathtrace.render_band_deferred(
+                sc, cfg, ro_i, rd_i, jax.random.fold_in(k, gid))
+
+        rgb, trans, qp, qd, qw, ev = jax.lax.map(band,
+                                                 (ids_l[0], ro_l, rd_l))
+        rgb = rgb.reshape(-1, 3)
+        trans = trans.reshape(-1)
+        qp, qd = qp.reshape(-1, 3), qd.reshape(-1, 3)
+        # padding lanes marched duplicate rays -- mask their outputs
+        qw = jnp.where(val_l, qw.reshape(-1), 0.0)
+        ev = ev.reshape((ev.shape[0] * ev.shape[1],) + ev.shape[2:])
+        if ev.shape[1] > 0:
+            ev = jnp.where(val_l[:, None, None], ev, jnp.zeros((), ev.dtype))
+
+        def query_fn(qpos, qdir):
+            return nrc.query_baked(s, bk, qpos, qdir, cfg)
+
+        rgb = pathtrace.shade_and_query(sc, cfg, rgb, qp, qd, qw, query_fn,
+                                        events=ev, cap_n=n // n_dev)
+        return rgb, trans
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False)
+    rgb_s, trans_s = fn(state, baked, scene, key, ro_s, rd_s, band_ids,
+                        val_s)
+    # un-stripe to canonical pack order, scatter back to pixel order
+    inv = jnp.asarray(inverse)
+    rgb_p = rgb_s.reshape(n_bands_p, band_n, 3)[inv].reshape(-1, 3)
+    trans_p = trans_s.reshape(n_bands_p, band_n)[inv].reshape(-1)
+    rgb = compact.scatter_back(n, sel, val, rgb_p, 0.0)
+    trans = compact.scatter_back(n, sel, val, trans_p, 1.0)
+    if env_rgb is None:
+        _, rd = pixel_rays(scene.camera, w, h)
+        env_rgb = envmap_ops.sample_direct(scene.env, rd, hpm=False)
+    return (rgb + trans[:, None] * env_rgb).reshape(h, w, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "band_rows"))
 def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
                      cfg: NRCConfig, mesh, band_rows: int = 54,
                      env_rgb=None, baked=None) -> jnp.ndarray:
@@ -237,7 +337,7 @@ def dp_frame_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
 def dp_train_banded_frame(state: nrc.NRCState, scene: Scene, key: jax.Array,
                           cfg: NRCConfig, mesh, band_rows: int = 54,
-                          env_rgb=None, baked=None):
+                          env_rgb=None, baked=None, pack=None):
     """The PRODUCTION multi-chip frame (the distributed version of the
     reference frame loop, src/main.cpp:181-246): sharded train pass ->
     pmean grads -> replicated optimizer update, then the striped banded
@@ -258,7 +358,14 @@ def dp_train_banded_frame(state: nrc.NRCState, scene: Scene, key: jax.Array,
     state, mse = dp_train_step(state, scene, key, cfg, mesh)
     if baked is None:
         baked = nrc.bake(state, cfg)
-    img = dp_render_banded(state, scene, jax.random.fold_in(key, 0x52454e),
-                           cfg, mesh, band_rows=band_rows, env_rgb=env_rgb,
-                           baked=baked)
+    k_render = jax.random.fold_in(key, 0x52454e)
+    if (cfg.render.live_pack_fraction > 0.0 and pathtrace.shade_deferred(cfg)
+            and not cfg.render.show_non_nn and cfg.render.spp == 1):
+        img = dp_render_banded_packed(state, scene, k_render, cfg, mesh,
+                                      band_rows=band_rows, env_rgb=env_rgb,
+                                      baked=baked, pack=pack)
+    else:
+        img = dp_render_banded(state, scene, k_render, cfg, mesh,
+                               band_rows=band_rows, env_rgb=env_rgb,
+                               baked=baked)
     return state, img, mse, baked

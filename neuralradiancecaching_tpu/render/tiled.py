@@ -180,8 +180,9 @@ def live_fraction(scene: Scene, cfg: NRCConfig) -> float:
     return float(np.asarray(_live_mask_mean(scene, cfg)))
 
 
-@partial(jax.jit, static_argnames=("cfg", "band_rows"))
-def frame_live_pack(scene: Scene, cfg: NRCConfig, band_rows: int = 54):
+@partial(jax.jit, static_argnames=("cfg", "band_rows", "multiple_of"))
+def frame_live_pack(scene: Scene, cfg: NRCConfig, band_rows: int = 54,
+                    multiple_of: int = 1):
     """Pose-static live-ray pack (sel, val, ro_p, rd_p) for the packed
     bands program.
 
@@ -191,7 +192,13 @@ def frame_live_pack(scene: Scene, cfg: NRCConfig, band_rows: int = 54):
     two packed-ray gathers are static across every frame rendered from
     one pose. Progressive/bench loops compute this once per pose and pass
     it to :func:`render_banded` (recompute on camera move), exactly like
-    ``frame_env_color``/``baked``."""
+    ``frame_env_color``/``baked``.
+
+    multiple_of: round the packed band count up to this multiple (the
+    mesh size, for the DP packed render's whole-bands-per-device
+    striping). Extra bands are padding (val False), so a pack built with
+    multiple_of=N is bit-compatible with the multiple_of=1 pack on the
+    valid lanes."""
     from neuralradiancecaching_tpu.ops import compact, lightfield
     from neuralradiancecaching_tpu.ops import volume as volume_ops
 
@@ -206,6 +213,7 @@ def frame_live_pack(scene: Scene, cfg: NRCConfig, band_rows: int = 54):
 
     band_n = band_rows * w
     n_bands_p = max(1, -(-int(n * cfg.render.live_pack_fraction) // band_n))
+    n_bands_p = -(-n_bands_p // multiple_of) * multiple_of
     capm = min(n_bands_p * band_n, n)
     sel, val = compact.compact_select(live, capm)
     ro_p = jnp.take(ro, sel, axis=0).reshape(-1, band_n, 3)

@@ -185,6 +185,39 @@ def test_dp_render_banded_collision_mesh1_vs_mesh8():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_dp_render_banded_packed_parity():
+    """The DP live-ray-packed render (dp_render_banded_packed) matches the
+    single-chip packed path (render_banded(pack=...)) AND is mesh-size
+    independent: packed bands are keyed by GLOBAL packed band id and a
+    shared pose-static pack fixes the lane order, so mesh(1), mesh(8) and
+    the non-DP packed program agree on the same image."""
+    from neuralradiancecaching_tpu.parallel import dp_render_banded_packed
+    from neuralradiancecaching_tpu.render.tiled import (frame_live_pack,
+                                                        render_banded)
+
+    cfg = dp_collision_config()
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, live_pack_fraction=0.5))
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(3)
+
+    # band_rows=1 -> 16 one-row bands of 16 lanes; fraction 0.5 -> 8
+    # packed bands, exactly one per device on the 8-mesh (real packing,
+    # not the identity)
+    pack = frame_live_pack(scene, cfg, 1, multiple_of=8)
+    img_sc = render_banded(state, scene, key, cfg, band_rows=1, pack=pack)
+    img1 = dp_render_banded_packed(state, scene, key, cfg, make_mesh(1),
+                                   band_rows=1, pack=pack)
+    img8 = dp_render_banded_packed(state, scene, key, cfg, make_mesh(8),
+                                   band_rows=1, pack=pack)
+    assert np.isfinite(np.asarray(img_sc)).all()
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img_sc),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(img8), np.asarray(img_sc),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_dp_train_step_mesh8_equals_sharded_single_device():
     """SURVEY §4 mesh-size parity, train side: one dp_train_step on the
     8-device mesh produces the same post-step parameters as a single-device
