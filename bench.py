@@ -165,9 +165,11 @@ def main():
     baked = nrc.bake(state, cfg)
     # ... and the live-ray pack itself (sel + packed rays): the live mask
     # is deterministic per pose, so the full-frame compact_select + ray
-    # gathers move off the per-frame path too (frame_live_pack docstring)
+    # gathers move off the per-frame path too (frame_live_pack docstring).
+    # BENCH_NO_PACK_HOIST=1 keeps the pack in-program for the A/B.
     live_pack = (frame_live_pack(scene, cfg, band)
-                 if band and pack > 0.0 else None)
+                 if band and pack > 0.0
+                 and os.environ.get("BENCH_NO_PACK_HOIST") != "1" else None)
     np.asarray(env_rgb.sum())
 
     def run(key, sync=True):

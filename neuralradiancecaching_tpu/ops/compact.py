@@ -61,6 +61,31 @@ def scatter_back(n: int, sel: jnp.ndarray, sel_valid: jnp.ndarray,
     return dest.at[idx].set(values, mode="drop")[:n]
 
 
+def inverse_select(n: int, sel: jnp.ndarray, sel_valid: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Precompute the inverse index map of a compact_select: inv[lane] =
+    packed slot holding that lane, or `cap` (sentinel) for unselected
+    lanes. Enables :func:`gather_back` -- when `sel` is static across many
+    frames (the pose-static live-ray pack), the per-frame un-pack becomes
+    ONE gather instead of per-array scatters (TPU scatters cost ~5x a
+    same-size gather, docs/PERFORMANCE.md compaction section)."""
+    cap = sel.shape[0]
+    idx = jnp.where(sel_valid, sel, n)
+    inv = jnp.full((n + 1,), cap, jnp.int32).at[idx].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")[:n]
+    return inv
+
+
+def gather_back(inv: jnp.ndarray, values: jnp.ndarray, fill) -> jnp.ndarray:
+    """scatter_back via a precomputed :func:`inverse_select` map: one
+    gather, no scatter. Lane i gets values[inv[i]]; sentinel lanes get
+    `fill`. Identical output to scatter_back(n, sel, sel_valid, values,
+    fill) for the (sel, sel_valid) that built `inv`."""
+    fill_row = jnp.full((1,) + values.shape[1:], fill, values.dtype)
+    padded = jnp.concatenate([values, fill_row], axis=0)
+    return jnp.take(padded, inv, axis=0)
+
+
 def compact_prefix(counts: jnp.ndarray, cap: int
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pack per-row PREFIX runs contiguously: row i contributes its slots

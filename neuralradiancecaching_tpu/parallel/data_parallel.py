@@ -149,7 +149,7 @@ def dp_render_banded_packed(state: nrc.NRCState, scene: Scene,
     if pack is None:
         pack = tiled.frame_live_pack(scene, cfg, band_rows,
                                      multiple_of=n_dev)
-    sel, val, ro_p, rd_p = pack
+    sel, val, ro_p, rd_p, inv = pack
     band_n = band_rows * w
     n_bands_p = ro_p.shape[0]
     if n_bands_p % n_dev != 0:
@@ -201,12 +201,16 @@ def dp_render_banded_packed(state: nrc.NRCState, scene: Scene,
         check_vma=False)
     rgb_s, trans_s = fn(state, baked, scene, key, ro_s, rd_s, band_ids,
                         val_s)
-    # un-stripe to canonical pack order, scatter back to pixel order
-    inv = jnp.asarray(inverse)
-    rgb_p = rgb_s.reshape(n_bands_p, band_n, 3)[inv].reshape(-1, 3)
-    trans_p = trans_s.reshape(n_bands_p, band_n)[inv].reshape(-1)
-    rgb = compact.scatter_back(n, sel, val, rgb_p, 0.0)
-    trans = compact.scatter_back(n, sel, val, trans_p, 1.0)
+    # un-stripe to canonical pack order, then un-pack to pixel order with
+    # ONE (n, 4) gather through the pose-static inverse map (rgb fill 0,
+    # trans fill 1) -- same fused un-pack as the single-chip finish
+    unstripe = jnp.asarray(inverse)
+    rgb_p = rgb_s.reshape(n_bands_p, band_n, 3)[unstripe].reshape(-1, 3)
+    trans_p = trans_s.reshape(n_bands_p, band_n)[unstripe].reshape(-1)
+    rgbt = jnp.concatenate([rgb_p, trans_p[:, None]], axis=1)
+    out = compact.gather_back(inv, rgbt,
+                              jnp.asarray([0.0, 0.0, 0.0, 1.0], rgbt.dtype))
+    rgb, trans = out[:, :3], out[:, 3]
     if env_rgb is None:
         _, rd = pixel_rays(scene.camera, w, h)
         env_rgb = envmap_ops.sample_direct(scene.env, rd, hpm=False)

@@ -218,7 +218,10 @@ def frame_live_pack(scene: Scene, cfg: NRCConfig, band_rows: int = 54,
     sel, val = compact.compact_select(live, capm)
     ro_p = jnp.take(ro, sel, axis=0).reshape(-1, band_n, 3)
     rd_p = jnp.take(rd, sel, axis=0).reshape(-1, band_n, 3)
-    return sel, val, ro_p, rd_p
+    # inverse map: turns the per-frame un-pack into ONE gather (the two
+    # full-width scatters move here, off the per-frame path)
+    inv = compact.inverse_select(n, sel, val)
+    return sel, val, ro_p, rd_p, inv
 
 
 @partial(jax.jit, static_argnames=("cfg", "band_rows"))
@@ -234,7 +237,7 @@ def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
     w = cfg.render.width
     if pack is None:
         pack = frame_live_pack(scene, cfg, band_rows)
-    sel, val, ro_p, rd_p = pack
+    sel, val, ro_p, rd_p, inv = pack
     band_n = band_rows * w
     capm = ro_p.shape[0] * band_n
     ro_p = ro_p.reshape(-1, band_n, 3)
@@ -266,12 +269,12 @@ def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
     ev = ev.reshape((spp * capm,) + ev.shape[2:])
     if ev.shape[1] > 0:
         ev = jnp.where(val_s[:, None, None], ev, jnp.zeros((), ev.dtype))
-    return sel, val, rgb, trans, qp, qd, qw, ev
+    return inv, rgb, trans, qp, qd, qw, ev
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _finish_packed(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
-                   sel, val, rgb_p, trans_p, qp, qd, qw, ev,
+                   inv, rgb_p, trans_p, qp, qd, qw, ev,
                    cfg: NRCConfig, env_rgb=None):
     from neuralradiancecaching_tpu.ops import compact
     from neuralradiancecaching_tpu.ops import envmap as envmap_ops
@@ -286,13 +289,17 @@ def _finish_packed(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
     rgb_p = pathtrace.shade_and_query(scene, cfg, rgb_p, qp, qd, qw,
                                       query_fn, events=ev, cap_n=spp * n)
     if spp > 1:
-        # mean over the sample-major copies BEFORE the scatter-back: the
-        # pack indices are shared by every copy and the env composite is
-        # linear in (rgb, trans), so mean-then-scatter == scatter-then-mean
+        # mean over the sample-major copies BEFORE the un-pack: the pack
+        # indices are shared by every copy and the env composite is
+        # linear in (rgb, trans), so mean-then-unpack == unpack-then-mean
         rgb_p = rgb_p.reshape(spp, -1, 3).mean(axis=0)
         trans_p = trans_p.reshape(spp, -1).mean(axis=0)
-    rgb = compact.scatter_back(n, sel, val, rgb_p, 0.0)
-    trans = compact.scatter_back(n, sel, val, trans_p, 1.0)
+    # fused un-pack: one (n, 4) gather through the pose-static inverse map
+    # replaces two full-width scatters (rgb fill 0, trans fill 1)
+    rgbt = jnp.concatenate([rgb_p, trans_p[:, None]], axis=1)
+    out = compact.gather_back(inv, rgbt,
+                              jnp.asarray([0.0, 0.0, 0.0, 1.0], rgbt.dtype))
+    rgb, trans = out[:, :3], out[:, 3]
     if env_rgb is None:
         _, rd = pixel_rays(scene.camera, cfg.render.width,
                            cfg.render.height)
@@ -328,9 +335,9 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
         baked = nrc.bake(state, cfg)
     if (cfg.render.live_pack_fraction > 0.0 and pathtrace.shade_deferred(cfg)
             and not cfg.render.show_non_nn):
-        sel, val, rgb_p, trans_p, qp, qd, qw, ev = _packed_bands_program(
+        inv, rgb_p, trans_p, qp, qd, qw, ev = _packed_bands_program(
             scene, key, cfg, band_rows, pack)
-        out = _finish_packed(state, baked, scene, sel, val, rgb_p, trans_p,
+        out = _finish_packed(state, baked, scene, inv, rgb_p, trans_p,
                              qp, qd, qw, ev, cfg, env_rgb)
         return out.reshape(h, w, 3)
 

@@ -43,6 +43,8 @@ run dirbuckets 5400 env BENCH_DIR_BUCKETS=32,64 BENCH_QUALITY=0 \
   BENCH_FRAMES=6 python bench.py
 run bench_spp2 5400 env BENCH_SPP=2 BENCH_QUALITY=0 BENCH_FRAMES=4 \
   python bench.py  # packed-spp path: expect ~2x the spp=1 frame, not ~4x
+run bench_nohoist 5400 env BENCH_NO_PACK_HOIST=1 BENCH_QUALITY=0 \
+  BENCH_FRAMES=6 python bench.py  # pack-hoist A/B control (in-program pack)
 run bench_full 7200 python bench.py
 
 echo "QUEUE DONE $(date -u)" >>"$QD/SUMMARY"

@@ -43,6 +43,33 @@ def test_scatter_back_round_trip():
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
 
 
+def test_gather_back_matches_scatter_back():
+    """inverse_select + gather_back == scatter_back for any mask/cap,
+    including overflow (count > cap) and padding (count < cap): the
+    gather formulation is the pose-static un-pack of the live-ray
+    pipeline, so it must be value-identical."""
+    for seed, cap, p in [(1, 64, 0.4), (3, 16, 0.9), (4, 48, 0.05)]:
+        mask = jax.random.uniform(jax.random.PRNGKey(seed), (100,)) < p
+        vals_full = jax.random.normal(jax.random.PRNGKey(seed + 10),
+                                      (100, 4))
+        sel, sel_valid = compact.compact_select(mask, cap)
+        packed = jnp.take(vals_full, sel, axis=0)
+        ref = compact.scatter_back(100, sel, sel_valid, packed, -2.0)
+        inv = compact.inverse_select(100, sel, sel_valid)
+        out = compact.gather_back(inv, packed, -2.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # per-channel fill row (the fused rgb+trans un-pack: fill 0,0,0,1)
+    mask = jnp.array([False, True, False, True])
+    sel, sel_valid = compact.compact_select(mask, 2)
+    inv = compact.inverse_select(4, sel, sel_valid)
+    vals = jnp.full((2, 4), 7.0)
+    out = compact.gather_back(inv, vals,
+                              jnp.asarray([0.0, 0.0, 0.0, 1.0]))
+    np.testing.assert_array_equal(
+        np.asarray(out), [[0, 0, 0, 1], [7, 7, 7, 7],
+                          [0, 0, 0, 1], [7, 7, 7, 7]])
+
+
 def test_scatter_back_padding_never_corrupts():
     # count < cap: the padding slots (sel index 0) must not write lane 0
     mask = jnp.array([False, True, False, False])
