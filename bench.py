@@ -144,11 +144,18 @@ def main():
     if pathtrace.shade_deferred(cfg):
         pack = min(1.0, float(np.ceil((live_frac * 1.05 + 0.005) / 0.015625)
                               * 0.015625))
+    # BENCH_QUERY_CHUNK A/Bs the compacted-query lax.map chunk size (the
+    # gather-op-count lever, RenderConfig.query_chunk): bigger chunks cut
+    # the per-chunk 16-oct-level gather count proportionally, bounded by
+    # the remote compile helper's program-size limit.
+    qchunk = int(os.environ.get("BENCH_QUERY_CHUNK",
+                                cfg.render.query_chunk))
     cfg = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render,
                                         query_cap_fraction=cap,
                                         shade_cap_fraction=shade_cap,
-                                        live_pack_fraction=pack))
+                                        live_pack_fraction=pack,
+                                        query_chunk=qchunk))
 
     # whole frame as one program (lax.map over bands) when banding;
     # BENCH_HOST_TILED=1 falls back to the host-side band loop

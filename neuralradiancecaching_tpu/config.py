@@ -587,6 +587,14 @@ class RenderConfig:
     # callers that probe (bench.py) can tighten it. Overflow drops are
     # deterministic (highest event slots first).
     shade_cap_fraction: float = 2.0
+    # lax.map chunk size for the compacted cache query (shade_and_query /
+    # render_image). The query phase is GATHER-OP-COUNT bound (each chunk
+    # pays ~16 oct-level gathers regardless of rows; docs/PERFORMANCE.md),
+    # so bigger chunks = fewer gather ops -- bounded above by the axon
+    # remote compile helper's program-size limit (full-frame 388k-row
+    # encodes crash it; 32k is safe everywhere, larger values are probed
+    # on the real TPU by bench.py).
+    query_chunk: int = 32768
 
 
 @dataclass(frozen=True)

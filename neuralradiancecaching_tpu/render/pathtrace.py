@@ -267,6 +267,10 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             flat = (idx[:, 0] * cdims[1] + idx[:, 1]) * cdims[2] + idx[:, 2]
             return jnp.take(maj_flat, flat, axis=0)
 
+    # value-identical to casting the stacked (K, N, ...) outputs after the
+    # scan (the cast is elementwise), but the scan writes half the bytes
+    ys_bf16 = collect_events and cfg.volume.field_dtype == "bfloat16"
+
     def step(s: S, u_step):
         u_rr, u_t, u_hg1, u_hg2 = (u_step[0], u_step[1], u_step[2],
                                    u_step[3])
@@ -385,6 +389,12 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             last_in = s.last_in
 
         ys = (x, s.dir, jnp.where(scatter, ev_w, 0.0))
+        if ys_bf16:
+            # event-collection mode ships bf16 rows anyway (the finish
+            # upcasts); emitting bf16 FROM THE SCAN halves the stacked
+            # output bytes -- the measured dominant step cost
+            # (scripts/profile_march_ops.py: stacking, not gather/math)
+            ys = tuple(y.astype(jnp.bfloat16) for y in ys)
         return S(pos2, dir2, weight, term_prob, done, tau0, has_q, q_pos,
                  q_dir, last_in, q_w), ys
 
@@ -861,12 +871,16 @@ def shade_and_query(scene: Scene, cfg: NRCConfig, rgb: jnp.ndarray,
     has_q = q_w > 0.0
     # the hash encode at full frame width exceeds the axon compile helper's
     # program limit (measured: 26k-row encodes compile, 388k crash), so the
-    # compacted queries are evaluated in fixed-size lax.map chunks
-    chunk = 32768
+    # compacted queries are evaluated in fixed-size lax.map chunks; the
+    # chunk size is the gather-op-count lever (RenderConfig.query_chunk)
+    chunk = cfg.render.query_chunk
     if frac < 1.0:
         capq = min(n, max(1024, int(base * frac)))
-        if capq > chunk:  # round up to whole chunks (never exceeding n)
-            capq = min(-(-capq // chunk) * chunk, n)
+        if capq > chunk:  # round up to whole chunks; capq may exceed n
+            # (compact_select pads past-count slots, <= chunk-1 wasted
+            # rows) -- clamping to a non-multiple n would force one
+            # full-width query call, which the compile helper rejects
+            capq = -(-capq // chunk) * chunk
         sel, sel_valid = compact.compact_select(has_q, capq)
         qsel_p = jnp.take(q_pos, sel, axis=0)
         qsel_d = jnp.take(q_dir, sel, axis=0)
@@ -939,10 +953,11 @@ def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                 # Chunked like finish_deferred: a >~64k-row hash encode in
                 # one program exceeds the remote compile helper's limit.
                 from neuralradiancecaching_tpu.ops import compact
-                chunk = 32768
+                chunk = cfg.render.query_chunk
                 capq = min(n, max(1024, int(n * frac)))
-                if capq > chunk:
-                    capq = min(-(-capq // chunk) * chunk, n)
+                if capq > chunk:  # whole chunks; may exceed n (see
+                    # shade_and_query -- compact_select pads)
+                    capq = -(-capq // chunk) * chunk
                 has_q = res.query_weight > 0.0
                 sel, sel_valid = compact.compact_select(has_q, capq)
                 qsel_p = jnp.take(res.query_pos, sel, axis=0)
