@@ -712,8 +712,15 @@ def progressive_1080p_config() -> "NRCConfig":
         path=PathTraceConfig(sampler="collision"),
         # bf16 field rows halve the bytes of the HBM-latency-bound march/
         # shade gathers: 649 -> 555 ms/frame measured, mean radiance
-        # unchanged to 4 decimals (scripts/profile_bf16.py)
-        volume=VolumeConfig(field_dtype="bfloat16"),
+        # unchanged to 4 decimals (scripts/profile_bf16.py).
+        # (32, 64) direction buckets: HALVES the baked-field bias vs the
+        # unbiased delta sampler (9.4% -> 5.3% rel RMSE) AND cuts live
+        # lanes 17% drop-free (entry-tau mask audit: strictly conservative
+        # at both resolutions) -- measured 14.05 vs 13.45 Mrays/s @1080p.
+        # Cost: 4x field bake time/memory (~1 GB bf16), query row cost
+        # UNCHANGED (row size is bucket-count-independent).
+        volume=VolumeConfig(field_dtype="bfloat16",
+                            field_dir_buckets=(32, 64)),
         # guarded Adam on MLP + hash table: converged cache error 0.038 vs
         # 0.235 for the reference's SGD pair (scripts/profile_adam.py)
         mlp_opt=OptimizerConfig(kind="adam", beta1=0.9),
