@@ -96,7 +96,8 @@ def compact_prefix(counts: jnp.ndarray, cap: int
     an n*k-element scatter (compact_select) plus a random-order scatter-add
     on the way back, the pack needs one cumsum over rows, ONE n-element
     mark scatter, one cumsum over the cap -- and the packed rows come out
-    SORTED by row, so the un-pack reduction is a sorted segment_sum.
+    SORTED by row, so the un-pack reduction is a segmented scan
+    (:func:`prefix_segment_sum`).
     (Measured: the compact_select pack at 12.4M slots costs ~800 ms on
     v5e; this path is ~10x cheaper.)
 
@@ -123,6 +124,48 @@ def compact_prefix(counts: jnp.ndarray, cap: int
     slot = p - jnp.take(offs, row)
     valid = p < jnp.minimum(total, cap)
     return row, slot, valid
+
+
+def prefix_segment_sum(contrib: jnp.ndarray, counts: jnp.ndarray,
+                       slot: jnp.ndarray) -> jnp.ndarray:
+    """Per-row sums of prefix-packed contributions, without a scatter.
+
+    Replaces ``segment_sum(contrib, row, indices_are_sorted=True)`` for
+    packs built by :func:`compact_prefix`: a segmented associative scan
+    (flags reset at ``slot == 0`` segment starts) followed by one gather of
+    each row's last lane. Measured ~3x cheaper than the sorted segment_sum
+    at 1080p event scale (32.9 -> 10.3 ms at 680k lanes,
+    docs/PERFORMANCE.md); the scan resets per segment so fp32 error does
+    not accumulate across the frame the way a raw-cumsum boundary diff
+    would.
+
+    contrib: (cap, ...) packed values in compact_prefix lane order, with
+    invalid (padding) lanes already zeroed. counts: (n,) the per-row lane
+    counts that built the pack. slot: (cap,) within-row slot ids from
+    compact_prefix. Returns (n, ...) per-row sums; rows fully beyond the
+    cap (or with zero lanes) get 0. Matches the segment_sum drop semantics
+    exactly, including partial sums for the row truncated at the cap.
+    """
+    import jax
+
+    cap = contrib.shape[0]
+    cum = jnp.cumsum(counts.astype(jnp.int32))
+    offs = cum - counts
+    tail = (1,) * (contrib.ndim - 1)
+    flags = jnp.broadcast_to((slot == 0).reshape((cap,) + tail),
+                             contrib.shape)
+
+    def seg_op(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    vals, _ = jax.lax.associative_scan(seg_op, (contrib, flags))
+    idx = jnp.clip(jnp.minimum(cum, cap) - 1, 0, cap - 1)
+    out = jnp.take(vals, idx, axis=0)
+    keep = (counts > 0) & (offs < cap)
+    return jnp.where(keep.reshape((-1,) + tail), out,
+                     jnp.zeros((), contrib.dtype))
 
 
 def scatter_update(x: jnp.ndarray, sel: jnp.ndarray, sel_valid: jnp.ndarray,

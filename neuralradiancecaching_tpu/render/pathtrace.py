@@ -451,7 +451,7 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     elif cfg.path.coll_shade_cap > 0.0:
         # prefix-packed shading (collision validity is a per-ray prefix:
         # a done lane never revives): pack the valid events ray-major and
-        # shade once; the reduction back is a sorted segment_sum. At
+        # shade once; the reduction back is a segmented scan. At
         # target-walk scale (64 slots x 8 samples x 10k rays) the dense
         # per-slot shade is the train step's dominant cost. Overflow drops
         # the highest ray indices, deterministically.
@@ -469,9 +469,7 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         light = trace_scene(scene, cfg, rows[:, 0:3], rows[:, 3:6],
                             k_scene, env_samples)
         contrib = jnp.where(val_e[:, None], w_rows[:, None] * light, 0.0)
-        seg = jnp.where(val_e, row, n)
-        scattered = jax.ops.segment_sum(contrib, seg, num_segments=n + 1,
-                                        indices_are_sorted=True)[:n]
+        scattered = compact.prefix_segment_sum(contrib, counts, slot)
     else:
         def shade_slot(args):
             slot_idx, e_pos, e_dir = args
@@ -848,7 +846,8 @@ def shade_and_query(scene: Scene, cfg: NRCConfig, rgb: jnp.ndarray,
         # deferred event shading: collision-walk validity is PREFIX-shaped
         # per ray (a done lane never revives), so the frame-wide pack is a
         # counts/offsets prefix pack (compact_prefix) and the un-pack
-        # reduction a SORTED segment_sum -- ~10x cheaper than a general
+        # reduction a segmented scan (prefix_segment_sum, ~3x cheaper than
+        # even the sorted segment_sum it replaced) -- vs a general
         # n*k-slot compaction + random scatter-add at 1080p scale
         k = events.shape[1]
         flat = events.reshape(n * k, 7)
@@ -863,9 +862,7 @@ def shade_and_query(scene: Scene, cfg: NRCConfig, rgb: jnp.ndarray,
                             jax.random.PRNGKey(0),  # field modes: unused
                             cfg.env_map.n_samples)
         contrib = jnp.where(val_e[:, None], rows[:, 6:7] * light, 0.0)
-        seg = jnp.where(val_e, row, n)                      # sorted ids
-        rgb = rgb + jax.ops.segment_sum(contrib, seg, num_segments=n + 1,
-                                        indices_are_sorted=True)[:n]
+        rgb = rgb + compact.prefix_segment_sum(contrib, counts, slot)
 
     frac = cfg.render.query_cap_fraction
     has_q = q_w > 0.0

@@ -133,3 +133,31 @@ def test_compact_prefix_jit_segment_sum_round_trip():
                               indices_are_sorted=True)[:n]
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(vals.sum(axis=1)), rtol=1e-5)
+
+
+def test_prefix_segment_sum_matches_segment_sum():
+    key = jax.random.PRNGKey(7)
+    n, k = 64, 5
+    counts = jax.random.randint(key, (n,), 0, k + 1)
+    vals = jax.random.normal(jax.random.PRNGKey(8), (n, k, 3))
+    pref = (jnp.arange(k)[None, :] < counts[:, None])[..., None]
+    vals = jnp.where(pref, vals, 0.0)
+    for cap in (n * k, 17):  # ample and truncating caps
+        row, slot, valid = compact.compact_prefix(counts, cap)
+        idx = row * k + jnp.minimum(slot, k - 1)
+        picked = jnp.take(vals.reshape(n * k, 3), idx, axis=0)
+        picked = jnp.where(valid[:, None], picked, 0.0)
+        seg = jnp.where(valid, row, n)
+        ref = jax.ops.segment_sum(picked, seg, num_segments=n + 1,
+                                  indices_are_sorted=True)[:n]
+        out = jax.jit(compact.prefix_segment_sum)(picked, counts, slot)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_prefix_segment_sum_empty_and_1d():
+    counts = jnp.zeros(8, jnp.int32)
+    row, slot, valid = compact.compact_prefix(counts, 4)
+    out = compact.prefix_segment_sum(jnp.zeros(4), counts, slot)
+    assert out.shape == (8,)
+    np.testing.assert_array_equal(np.asarray(out), np.zeros(8))
