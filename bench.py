@@ -144,6 +144,15 @@ def main():
     if pathtrace.shade_deferred(cfg):
         pack = min(1.0, float(np.ceil((live_frac * 1.05 + 0.005) / 0.015625)
                               * 0.015625))
+    # with the live-ray pack on, most PACKED lanes query (~69% at the
+    # bench scene): the uncapped full-width chunked query (no
+    # compact_select pack, no scatter_back, ZERO dropped queries) measures
+    # faster than the capped+packed one (shade+query 89.8 -> 75.9 ms,
+    # identical radiance sum; docs/PERFORMANCE.md), so the packed pipeline
+    # queries uncapped. BENCH_QUERY_CAPPED=1 restores the capped path for
+    # the A/B.
+    if pack > 0.0 and os.environ.get("BENCH_QUERY_CAPPED") != "1":
+        cap = 1.0
     # BENCH_QUERY_CHUNK A/Bs the compacted-query lax.map chunk size (the
     # gather-op-count lever, RenderConfig.query_chunk): bigger chunks cut
     # the per-chunk 16-oct-level gather count proportionally, bounded by

@@ -890,6 +890,22 @@ def shade_and_query(scene: Scene, cfg: NRCConfig, rgb: jnp.ndarray,
             cache_sel = query_fn(qsel_p, qsel_d)
         cache_sel = jnp.where(sel_valid[:, None], cache_sel, 0.0)
         cache = compact.scatter_back(n, sel, sel_valid, cache_sel, 0.0)
+    elif n > chunk:
+        # uncapped full-width query, chunked for the compile helper's
+        # program limit: no compaction pack, no scatter_back, and ZERO
+        # dropped queries -- a candidate win when most lanes query (the
+        # packed pipeline: ~69% of live lanes reach the RR cut, so the
+        # extra non-querying chunk rows can cost less than the
+        # frame-width compact_select + takes + scatter_back they replace;
+        # A/B via query_cap_fraction=1.0, docs/PERFORMANCE.md)
+        pad = -n % chunk
+        qp_p = jnp.concatenate([q_pos, jnp.zeros((pad, 3), q_pos.dtype)])
+        qd_p = jnp.concatenate([q_dir, jnp.zeros((pad, 3), q_dir.dtype)])
+        cache = jax.lax.map(
+            lambda ab: query_fn(ab[0], ab[1]),
+            (qp_p.reshape(-1, chunk, 3),
+             qd_p.reshape(-1, chunk, 3))).reshape(n + pad, 3)[:n]
+        cache = jnp.where(has_q[:, None], cache, 0.0)
     else:
         cache = jnp.where(has_q[:, None], query_fn(q_pos, q_dir), 0.0)
     return rgb + q_w[:, None] * cache

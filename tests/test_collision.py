@@ -705,3 +705,32 @@ def test_delta_deferred_matches_inband():
     assert np.isfinite(np.asarray(img_banded)).all()
     np.testing.assert_allclose(np.asarray(img_banded), np.asarray(img_in),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_uncapped_query_chunked_matches_single_call():
+    """query_cap_fraction=1.0 with n > query_chunk routes the full-width
+    query through padded lax.map chunks (the compile helper rejects
+    full-frame single-call encodes); it must equal the one-call path
+    exactly (same rows, same query_fn, only the call batching differs)."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render.tiled import render_banded
+
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -12.0)),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field"),
+        render=dataclasses.replace(cfg.render, query_cap_fraction=1.0))
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(5)
+    assert pathtrace.shade_deferred(cfg)
+    n = cfg.render.width * cfg.render.height
+    # one-call path (chunk >= n) vs chunked path (chunk < n, non-dividing
+    # so the padding branch is exercised)
+    a = np.asarray(render_banded(state, scene, k, cfg, band_rows=4))
+    cfg_chunked = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, query_chunk=24))
+    assert cfg_chunked.render.query_chunk < n
+    b = np.asarray(render_banded(state, scene, k, cfg_chunked, band_rows=4))
+    np.testing.assert_array_equal(a, b)
