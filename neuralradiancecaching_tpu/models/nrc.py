@@ -129,9 +129,14 @@ def query_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,
     pos_norm = mrhe_ops.normalize_pos(pos, cfg.volume.box_size,
                                       cfg.volume.box_center)
     mode = cfg.mrhe.inference_bake
+    # bf16 query compute (MLPConfig.inference_dtype): lerp weights, blob
+    # encode and MLP matmuls in bf16; index math/fractions stay f32.
+    # Only the shipped 'oct' bake supports it; output upcasts to f32.
+    bf16 = (cfg.mlp.inference_dtype == "bfloat16" and mode == "oct")
     if mode == "oct":
-        mrhe_feats = mrhe_ops.encode_with_oct(baked, pos_norm, cfg.mrhe,
-                                              cfg.quirks, pos_raw=pos)
+        mrhe_feats = mrhe_ops.encode_with_oct(
+            baked, pos_norm, cfg.mrhe, cfg.quirks, pos_raw=pos,
+            compute_dtype=jnp.bfloat16 if bf16 else None)
     elif mode == "dense":
         mrhe_feats = mrhe_ops.encode_with_baked(state.hash_table, baked,
                                                 pos_norm, cfg.mrhe,
@@ -140,6 +145,12 @@ def query_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,
         mrhe_feats = mrhe_ops.encode(state.hash_table, pos_norm, cfg.mrhe,
                                      cfg.quirks, pos_raw=pos)
     blob_feats = oneblob_ops.encode_dir(direction, cfg.oneblob, cfg.quirks)
+    if bf16:
+        x = jnp.concatenate([mrhe_feats,
+                             blob_feats.astype(jnp.bfloat16)], axis=-1)
+        params = jax.tree_util.tree_map(
+            lambda w: w.astype(jnp.bfloat16), state.mlp_params)
+        return _inference_mlp(params, x, cfg).astype(jnp.float32)
     x = jnp.concatenate([mrhe_feats, blob_feats], axis=-1)
     return _inference_mlp(state.mlp_params, x, cfg)
 

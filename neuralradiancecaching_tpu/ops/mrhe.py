@@ -361,12 +361,19 @@ def bake_oct(table: jnp.ndarray, cfg: MRHEConfig) -> jnp.ndarray:
 
 def encode_with_oct(oct_rows: jnp.ndarray, pos_norm: jnp.ndarray,
                     cfg: MRHEConfig, quirks: QuirkFlags,
-                    pos_raw: jnp.ndarray | None = None) -> jnp.ndarray:
+                    pos_raw: jnp.ndarray | None = None,
+                    compute_dtype=None) -> jnp.ndarray:
     """Inference encode from oct-packed rows: one row gather per level.
 
     Bit-exact vs :func:`encode` when ``oct_rows`` keeps the table dtype;
     with bf16 rows the gathered features round to bf16 (the measured-fast
     configuration: 32 B rows gather ~3x faster than 64 B fp32 rows).
+
+    compute_dtype: when set (bf16 inference, MLPConfig.inference_dtype),
+    the lerp WEIGHTS and feature reduction run in that dtype and the
+    output keeps it; the grid index math and lerp fractions always stay
+    in pos_norm's dtype (f32) -- bf16 fractions would quantize fine-level
+    interpolation. None (default): full f32, bit-compatible with before.
     """
     res = jnp.asarray(resolutions(cfg), dtype=pos_norm.dtype)
     x = pos_norm[..., None, :] * res[:, None]  # (..., L, D)
@@ -379,12 +386,14 @@ def encode_with_oct(oct_rows: jnp.ndarray, pos_norm: jnp.ndarray,
         frac = x - x0
     h = hash_coords(x0.astype(jnp.int32), cfg.table_size)  # (..., L)
     level_base = jnp.arange(cfg.n_levels, dtype=jnp.int32) * cfg.table_size
-    rows = jnp.take(oct_rows, h + level_base, axis=0).astype(pos_norm.dtype)
+    cd = compute_dtype if compute_dtype is not None else pos_norm.dtype
+    rows = jnp.take(oct_rows, h + level_base, axis=0).astype(cd)
+    frac = frac.astype(cd)
     c = 1 << cfg.n_dims
     rows = rows.reshape(*rows.shape[:-1], c, cfg.n_features)
     offsets = jnp.asarray(_corner_offsets(cfg.n_dims))  # (C, D)
     w = jnp.where(offsets.astype(bool), frac[..., None, :],
-                  1.0 - frac[..., None, :])
+                  jnp.asarray(1.0, cd) - frac[..., None, :])
     weights = jnp.prod(w, axis=-1)  # (..., L, C)
     feats = jnp.sum(rows * weights[..., None], axis=-2)  # (..., L, F)
     return feats.reshape(*pos_norm.shape[:-1],
