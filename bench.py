@@ -22,6 +22,18 @@ import time
 import numpy as np
 
 
+_T0 = time.perf_counter()
+
+
+def _t(msg: str) -> None:
+    """Wall-clock phase marker on stderr (stdout stays the one JSON line).
+
+    The driver only records stdout; these let a human (or a profiling run)
+    see where the bench's wall time goes on the axon tunnel."""
+    print(f"# t={time.perf_counter() - _T0:8.1f}s {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     import jax
 
@@ -79,6 +91,7 @@ def main():
     density = assets.load_cloud()
     env_img = assets.load_env_map()
     scene = make_scene(cfg, density, env_img)
+    _t('scene built (collision/tau/env fields baked)')
 
     state = nrc.init_state(jax.random.PRNGKey(cfg.seed), cfg)
     # a few online training steps so the cache is non-trivial
@@ -88,6 +101,7 @@ def main():
                                              jax.random.PRNGKey(100 + i),
                                              cfg)
     np.asarray(state.hash_table.sum())
+    _t('init train steps done')
 
     # auto-tune the query-compaction cap from a measured query fraction
     # (RenderConfig.query_cap_fraction): probe a band, round up generously
@@ -195,6 +209,7 @@ def main():
                  if band and pack > 0.0
                  and os.environ.get("BENCH_NO_PACK_HOIST") != "1" else None)
     np.asarray(env_rgb.sum())
+    _t('probes + hoists done (caps tuned, env/bake/pack hoisted)')
 
     def run(key, sync=True):
         if band and not host_tiled:
@@ -228,10 +243,12 @@ def main():
     # round-trips, NrcHpmRenderer.cpp:571-731). Device execution is
     # in-order, so syncing the last frame times the whole pipeline;
     # measured +6% vs per-frame hard syncs (scripts/profile_k_pipeline.py).
+    _t('render warmup/compile done')
     t0 = time.perf_counter()
     for i in range(frames):
         img = run(jax.random.PRNGKey(1 + i), sync=(i == frames - 1))
     dt = time.perf_counter() - t0
+    _t('timed render loop done')
 
     rays = width * height * spp * frames
     mrays_s = rays / dt / 1e6
@@ -277,6 +294,7 @@ def main():
     # docs/PERFORMANCE.md timing methodology)
     np.asarray(mse)
     train_dt = (time.perf_counter() - t0) / ts
+    _t('train timing done')
     result["train_step_ms"] = round(train_dt * 1000, 1)
     result["train_steps_per_s"] = round(1.0 / train_dt, 2)
 
@@ -321,6 +339,7 @@ def quality_metrics(cfg, scene, state):
                                           jax.random.PRNGKey(1000 + i),
                                           qcfg)
     np.asarray(st.hash_table.sum())
+    _t(f'quality: {train_steps} train steps done')
 
     def accum(c, spp_total, key0):
         acc = None
@@ -341,10 +360,12 @@ def quality_metrics(cfg, scene, state):
     # (averaged over 262k pixels the estimator noise is negligible).
     img_nn = accum(qcfg, spp_nn, 2000)
     img_nn2 = accum(qcfg, spp_nn, 6000)
+    _t('quality: NN twin accumulations done')
     ref_cfg = dataclasses.replace(
         qcfg, render=dataclasses.replace(qcfg.render, use_nn=False))
     img_ref = accum(ref_cfg, spp_ref, 3000)
     img_ref2 = accum(ref_cfg, spp_ref, 7000)
+    _t('quality: reference twin accumulations done')
     rel = relative_rmse(img_nn, img_ref)
 
     from neuralradiancecaching_tpu.utils.metrics import noise_subtracted_bias
@@ -362,6 +383,7 @@ def quality_metrics(cfg, scene, state):
     b = np.asarray(frame_mod.render_only_step(st, scene,
                                               jax.random.PRNGKey(7777),
                                               uncapped))
+    _t('quality: cap-bias A/B done')
     out = {
         "relative_rmse": round(float(rel), 5),
         # noise-subtracted NRC image bias (the north-star <=1% number) and
