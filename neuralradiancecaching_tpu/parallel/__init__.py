@@ -11,5 +11,6 @@ reduction.
 from neuralradiancecaching_tpu.parallel.mesh import (  # noqa: F401
     default_mesh, make_mesh)
 from neuralradiancecaching_tpu.parallel.data_parallel import (  # noqa: F401
-    dp_frame_step, dp_render, dp_render_banded, dp_render_banded_packed,
-    dp_train_banded_frame, dp_train_step)
+    DPCapReport, dp_frame_step, dp_render, dp_render_banded,
+    dp_render_banded_packed, dp_train_banded_frame, dp_train_step,
+    probe_dp_caps)

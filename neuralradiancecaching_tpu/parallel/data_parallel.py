@@ -15,7 +15,7 @@ device 0 and ray i on device 1 draw independent randomness.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -133,8 +133,10 @@ def dp_render_banded_packed(state: nrc.NRCState, scene: Scene,
 
     Per-shard caps: each device's lanes are contiguous packed bands, so
     per-shard event/query fractions track the frame mean the same way
-    band striping does (see dp_render_banded's cap note; keep drop-free
-    cap defaults on a mesh unless per-shard fractions were probed)."""
+    band striping does. For bench-tight caps, probe them per shard with
+    ``probe_dp_caps(..., pack=pack)`` -- it sizes the fractions to the
+    worst shard under this exact packed striping (drop-free by
+    construction); otherwise keep the drop-free config defaults."""
     from neuralradiancecaching_tpu.ops import compact
     from neuralradiancecaching_tpu.ops import envmap as envmap_ops
     from neuralradiancecaching_tpu.render import tiled
@@ -232,13 +234,16 @@ def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     ~3x the cap). Transients stay band-sized per device, so production
     frames compile. Returns (H, W, 3).
 
-    Cap semantics on a mesh (ADVICE r2): the shade/query cap fractions
-    apply PER SHARD. Striping keeps per-shard event/query fractions close
-    to the frame mean (that is point (b)), but single-chip-probed caps
-    with thin margins (bench.py's 1.15x) still assume the residual
-    per-shard spread fits the margin; keep the drop-free config defaults
-    (shade 2.0, query 1.0) for multi-chip runs unless per-shard fractions
-    have been probed."""
+    Cap semantics on a mesh (ADVICE r2 / VERDICT r3 item 6): the
+    shade/query cap fractions apply PER SHARD. Striping keeps per-shard
+    event/query fractions close to the frame mean (that is point (b)),
+    but a cap probed from the FRAME MEAN still assumes the residual
+    per-shard spread fits its margin. For tight caps, probe per shard
+    with ``probe_dp_caps`` -- it measures each stripe's own fractions
+    under this exact band->device assignment and sizes the caps to the
+    worst shard (drop-free by construction; tested against a skewed
+    scene in tests/test_parallel.py). Otherwise keep the drop-free
+    config defaults (shade 2.0, query 1.0)."""
     if not cfg.render.use_nn:
         raise ValueError("dp_render_banded is the NN path; use dp_render "
                          "for cache-off frames")
@@ -373,3 +378,132 @@ def dp_train_banded_frame(state: nrc.NRCState, scene: Scene, key: jax.Array,
                                band_rows=band_rows, env_rgb=env_rgb,
                                baked=baked)
     return state, img, mse, baked
+
+
+class DPCapReport(NamedTuple):
+    """Per-shard probe results + the worst-shard-sized cap fractions.
+
+    All fractions are relative to the per-device cap base (n_pixels /
+    n_dev), i.e. directly comparable to RenderConfig.query_cap_fraction /
+    shade_cap_fraction as finish_deferred / shade_and_query apply them on
+    a mesh."""
+    query_frac: np.ndarray      # (n_dev,) measured query fraction per shard
+    event_mean: np.ndarray      # (n_dev,) measured live events per cap lane
+    live_frac: np.ndarray       # (n_dev,) exact entry-live fraction (banded)
+    query_cap: float            # tightened drop-free query_cap_fraction
+    shade_cap: float            # tightened drop-free shade_cap_fraction
+
+
+def _round_cap(x: float, margin: float, pad: float) -> float:
+    return float(np.ceil((x * margin + pad) / 0.015625) * 0.015625)
+
+
+def probe_dp_caps(scene: Scene, cfg: NRCConfig, mesh_n: int,
+                  band_rows: int = 54, key: Optional[jax.Array] = None,
+                  stride: Optional[int] = None, margin: float = 1.05,
+                  pack=None) -> Tuple[NRCConfig, DPCapReport]:
+    """Per-shard cap probe for the striped banded DP renders (the mesh
+    version of bench.py's single-chip cap tuning).
+
+    The shade/query caps apply PER SHARD on a mesh (each device's
+    finish_deferred / shade_and_query compacts only its local lanes
+    against base = n_pixels / n_dev), so a cap probed from the frame MEAN
+    silently risks shard-local drops wherever band striping leaves a
+    residual spread. This probe measures each shard's own fractions under
+    the exact band->device assignment dp_render_banded[_packed] uses
+    (device d takes bands d, d+n_dev, ...), sizes the caps to the WORST
+    shard with bench.py's margin + 1/64 granularity, and returns a
+    tightened cfg that is drop-free per shard by construction.
+
+    Probe legs (mirroring bench.py):
+      * query fraction  -- strided trace_path sample, per-ray query mask
+        grouped by the owning device;
+      * shade events    -- strided trace_path_collision(collect_events)
+        per-ray live-event counts grouped by device (deferred-shade
+        pipelines only);
+      * entry-live      -- exact (deterministic per pose) per-stripe
+        fraction, reported for observability.
+
+    With ``pack`` (a frame_live_pack result), rays and the device
+    assignment come from the PACKED lanes (packed band b -> device
+    b % n_dev) and fractions are rescaled by lanes_per_device / cap_base,
+    matching dp_render_banded_packed's cap_n = n // n_dev semantics.
+    """
+    from neuralradiancecaching_tpu.ops import lightfield
+    from neuralradiancecaching_tpu.ops import volume as vol_ops
+
+    h, w = cfg.render.height, cfg.render.width
+    n = h * w
+    band_n = band_rows * w
+    base = n // mesh_n  # per-device cap base (cap_n in the DP renders)
+    if key is None:
+        key = jax.random.PRNGKey(97)
+    if pack is not None:
+        _, val, ro_p, rd_p, _ = pack
+        ro_f = ro_p.reshape(-1, 3)
+        rd_f = rd_p.reshape(-1, 3)
+        n_lanes = ro_f.shape[0]
+        lane_dev = (np.arange(n_lanes) // band_n) % mesh_n
+        lane_w = np.asarray(val, np.float64)  # padding lanes don't record
+    else:
+        ro_f, rd_f = pixel_rays(scene.camera, w, h)
+        n_lanes = n
+        lane_dev = (np.arange(n) // band_n) % mesh_n
+        lane_w = np.ones((n,), np.float64)
+    valid_per_dev = np.bincount(lane_dev, weights=lane_w, minlength=mesh_n)
+
+    if stride is None:
+        stride = max(1, n_lanes // (w * 64))
+    idx = np.arange(0, n_lanes, stride)
+    dev = lane_dev[idx]
+    w_s = lane_w[idx]
+    # valid sampled lanes per device (the strided sample hits every stripe
+    # uniformly: stride is coprime-ish to the band layout and bands stripe
+    # round-robin)
+    samp_valid = np.maximum(np.bincount(dev, weights=w_s, minlength=mesh_n),
+                            1.0)
+
+    deferred = pathtrace.shade_deferred(cfg)
+    if deferred:
+        res, ev = pathtrace.trace_path_collision(
+            scene, cfg, ro_f[idx], rd_f[idx], key, use_nn=True,
+            collect_events=True)
+        counts = np.asarray((np.asarray(ev[..., 6]) > 0).sum(axis=1),
+                            np.float64)
+        ev_slots = int(ev.shape[1])
+    else:
+        res = pathtrace.trace_path(scene, cfg, ro_f[idx], rd_f[idx], key,
+                                   use_nn=True)
+        counts = np.zeros((idx.size,), np.float64)
+        ev_slots = 0
+    qmask = np.asarray(np.asarray(res.query_weight) > 0, np.float64) * w_s
+    # needed fraction_d = (estimated total on shard d) / cap base, where
+    # total_d = mean-per-valid-sampled-lane * valid lanes on the shard
+    qfrac = (np.bincount(dev, weights=qmask, minlength=mesh_n) / samp_valid
+             * valid_per_dev / base)
+    ev_frac = (np.bincount(dev, weights=counts * w_s, minlength=mesh_n)
+               / samp_valid * valid_per_dev / base)
+
+    # exact per-stripe entry-live fraction (pixel-order bands)
+    ro_px, rd_px = pixel_rays(scene.camera, w, h)
+    entry_p, _, hit_m = vol_ops.entry_exit_points(ro_px, rd_px,
+                                                  cfg.volume.box_size,
+                                                  cfg.volume.box_center)
+    tau0 = lightfield.query_tau_field(scene.env_t_field, entry_p, rd_px,
+                                      cfg.volume)
+    live = (np.asarray(hit_m) & (np.asarray(tau0) > 1e-4)).astype(np.float64)
+    live_dev = (np.arange(n) // band_n) % mesh_n
+    live_frac = (np.bincount(live_dev, weights=live, minlength=mesh_n)
+                 / np.maximum(np.bincount(live_dev, minlength=mesh_n), 1.0))
+
+    query_cap = min(1.0, _round_cap(float(qfrac.max()), margin, 0.005))
+    shade_cap = cfg.render.shade_cap_fraction
+    if deferred and ev_slots > 0:
+        shade_cap = min(float(ev_slots),
+                        _round_cap(float(ev_frac.max()), margin, 0.01))
+    import dataclasses as _dc
+    cfg_t = _dc.replace(
+        cfg, render=_dc.replace(cfg.render, query_cap_fraction=query_cap,
+                                shade_cap_fraction=shade_cap))
+    return cfg_t, DPCapReport(qfrac, ev_frac, live_frac, query_cap,
+                              shade_cap)

@@ -286,3 +286,60 @@ def test_dp_delta_frame_step_end_to_end():
     assert img.shape == (16, 16, 3)
     assert np.isfinite(np.asarray(img)).all()
     assert np.isfinite(float(mse))
+
+
+def test_probe_dp_caps_tight_and_drop_free():
+    """Per-shard cap probing (VERDICT r3 item 6): bench-tight caps sized to
+    the WORST shard by probe_dp_caps are provably drop-free on the 8-device
+    mesh (identical image to the drop-free defaults), while a cap sized to
+    the FRAME MEAN -- what a naive single-chip probe would pick -- visibly
+    drops events on the skewed shard. 128x128 frame, band_rows=16 -> one
+    band per device (top bands sky, bottom bands cloud => real per-shard
+    spread: probed event fractions [0.66, 0.64, 0.06, 0, ...]) at a
+    per-device base of 2048 lanes, putting the worst shard's ~1353 events
+    above shade_and_query's 1024-lane cap floor so caps actually control
+    the compaction."""
+    from neuralradiancecaching_tpu.parallel import (dp_render_banded,
+                                                    probe_dp_caps)
+
+    cfg = dp_collision_config()
+    # push the camera down-left so the volume covers only part of the frame
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, position=(6.0, 9.0, -14.0)),
+        render=dataclasses.replace(cfg.render, width=128, height=128))
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(5)
+    mesh = make_mesh(8)
+
+    img_free = dp_render_banded(state, scene, key, cfg, mesh, band_rows=16)
+
+    # probe with stride=1 (exact per-shard fractions at this small size)
+    cfg_t, rep = probe_dp_caps(scene, cfg, 8, band_rows=16, stride=1)
+    assert rep.query_frac.shape == (8,)
+    # the scene is genuinely skewed: worst shard needs well above the mean
+    assert rep.event_mean.max() > 1.5 * max(rep.event_mean.mean(), 1e-9)
+    # probed caps are tighter than the drop-free defaults...
+    assert cfg_t.render.shade_cap_fraction < cfg.render.shade_cap_fraction
+    # ...yet drop-free per shard: identical image
+    img_tight = dp_render_banded(state, scene, key, cfg_t, mesh,
+                                 band_rows=16)
+    np.testing.assert_allclose(np.asarray(img_tight), np.asarray(img_free),
+                               rtol=1e-6, atol=1e-7)
+
+    # the naive frame-mean cap (same margin/rounding, mean instead of max)
+    # is NOT shard-safe here: the skewed shard drops events and the image
+    # changes -- this is the failure mode per-shard probing exists to stop
+    from neuralradiancecaching_tpu.parallel.data_parallel import _round_cap
+    mean_cap = min(float(rep.event_mean.max()),
+                   _round_cap(float(rep.event_mean.mean()), 1.05, 0.01))
+    if mean_cap < rep.event_mean.max():
+        cfg_m = dataclasses.replace(
+            cfg, render=dataclasses.replace(
+                cfg.render, shade_cap_fraction=mean_cap,
+                query_cap_fraction=cfg_t.render.query_cap_fraction))
+        img_mean = dp_render_banded(state, scene, key, cfg_m, mesh,
+                                    band_rows=16)
+        assert float(np.abs(np.asarray(img_mean)
+                            - np.asarray(img_free)).max()) > 0.0
