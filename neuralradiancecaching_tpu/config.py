@@ -302,6 +302,14 @@ class EnvMapConfig:
     #              gather per event, zero variance, small discretization
     #              bias (ops/lightfield.py build_scatter_field)
     in_scatter_mode: str = "mc"
+    # scatter-field BAKE quadrature (ops/lightfield.py build_scatter_field):
+    # cell grid for the exact-cell-power env integration (None -> reuse
+    # vol.field_dir_buckets) and transmittance steps per quadrature dir
+    # (None -> transmittance_steps). The bake's env integral is exact per
+    # cell, so these only control the angular/march resolution of the
+    # SMOOTH factors T and HG.
+    scatter_quad_dirs: "Tuple[int, int] | None" = None
+    scatter_bake_steps: "int | None" = None
 
 
 def rr_mean_events(rr_decay: float, max_bounces: int) -> float:

@@ -266,15 +266,72 @@ def build_radiance_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("vol", "hg_g", "steps", "field_shape"))
+def env_cell_integrals(env_image: jnp.ndarray, n_theta: int, n_phi: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact per-cell env integrals over the (theta, phi) quadrature grid.
+
+    Returns ``(power, cdirs)``: ``power[q, 3] = int_cell Env(w) dw`` (an
+    exact sin-weighted texel sum -- the equirect rows are uniform in polar
+    theta, so texels never straddle cells) and ``cdirs[q, 3]`` the
+    luminance-weighted mean direction of each cell (unit; geometric cell
+    center for dark cells).
+
+    Point-sampling Env at cell centers aliases concentrated emitters --
+    the bench env's horizon sun region carries ~42% of total power in
+    ~0.7% of the sphere, and scripts/profile_scatter_field_bias.py
+    measured a -8.4%-mean, dir-count-non-monotone residual from it.
+    Integrating Env exactly per cell and evaluating the smooth factors
+    (T, HG) at the cell's power centroid removes that aliasing without
+    changing the quadrature cost.
+    """
+    H, W = env_image.shape[0], env_image.shape[1]
+    vi = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    theta = math.pi * (1.0 - vi)                 # polar from +y; row-uniform
+    phi = ((jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0) * math.pi
+    dom = jnp.sin(theta) * (math.pi / H) * (2.0 * math.pi / W)      # (H,)
+    tcell = jnp.clip((theta / math.pi * n_theta).astype(jnp.int32),
+                     0, n_theta - 1)
+    pcell = jnp.clip(((phi / math.pi + 1.0) * 0.5 * n_phi).astype(jnp.int32),
+                     0, n_phi - 1)
+    seg = (tcell[:, None] * n_phi + pcell[None, :]).reshape(-1)     # (H*W,)
+    q = n_theta * n_phi
+    w_rgb = env_image.astype(jnp.float32) * dom[:, None, None]      # (H,W,3)
+    power = jax.ops.segment_sum(w_rgb.reshape(-1, 3), seg, num_segments=q)
+    lum = w_rgb @ jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+    tt, pp = jnp.meshgrid(theta, phi, indexing="ij")
+    dirs = _dir_from_theta_phi(tt, pp).reshape(-1, 3)               # (HW, 3)
+    m = jax.ops.segment_sum(dirs * lum.reshape(-1, 1), seg, num_segments=q)
+    cth = (jnp.arange(n_theta, dtype=jnp.float32) + 0.5) / n_theta * math.pi
+    cph = ((jnp.arange(n_phi, dtype=jnp.float32) + 0.5) / n_phi * 2.0
+           - 1.0) * math.pi
+    ctt, cpp = jnp.meshgrid(cth, cph, indexing="ij")
+    cdirs0 = _dir_from_theta_phi(ctt, cpp).reshape(-1, 3)
+    norm = jnp.linalg.norm(m, axis=1, keepdims=True)
+    cdirs = jnp.where(norm > 1e-12, m / jnp.maximum(norm, 1e-30), cdirs0)
+    return power, cdirs
+
+
+@partial(jax.jit,
+         static_argnames=("vol", "hg_g", "steps", "field_shape", "quad_dirs"))
 def build_scatter_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
                         vol: VolumeConfig, hg_g: float, steps: int = 16,
-                        field_shape: Tuple[int, int, int] | None = None
+                        field_shape: Tuple[int, int, int] | None = None,
+                        quad_dirs: Tuple[int, int] | None = None
                         ) -> jnp.ndarray:
     """(V * L_N_THETA * L_N_PHI, 12) corner-packed rows of the HG-convolved
-    in-scatter radiance (WITHOUT hpm strength -- applied at query time)."""
+    in-scatter radiance (WITHOUT hpm strength -- applied at query time).
+
+    The quadrature integrates the env EXACTLY per cell (env_cell_integrals)
+    and samples the smooth factors T and HG once per cell at the cell's
+    env-power centroid: S_o = sum_q HG(o . c_q) T(c_q) P_q. With a constant
+    env this reduces to plain product quadrature; with a concentrated
+    emitter it stays unbiased where center-point env sampling aliased at
+    the -8%-mean level (scripts/profile_scatter_field_bias.py). No row
+    normalization -- the cell powers are exact, and normalizing would
+    re-bias them. ``quad_dirs`` sets the quadrature cell grid (default
+    vol.field_dir_buckets; EnvMapConfig.scatter_quad_dirs overrides).
+    """
     field_shape = field_shape or vol.field_shape
-    from neuralradiancecaching_tpu.ops import envmap as envmap_ops
     from neuralradiancecaching_tpu.ops import phase as phase_ops
 
     size = jnp.asarray(vol.box_size, jnp.float32)
@@ -284,18 +341,8 @@ def build_scatter_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
     gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
     pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * size + center
 
-    # quadrature directions: the fine equirect grid (vol.field_dir_buckets)
-    N_THETA, N_PHI = vol.field_dir_buckets
-    th = (jnp.arange(N_THETA, dtype=jnp.float32) + 0.5) / N_THETA * math.pi
-    ph = ((jnp.arange(N_PHI, dtype=jnp.float32) + 0.5) / N_PHI * 2.0
-          - 1.0) * math.pi
-    tt, pp = jnp.meshgrid(th, ph, indexing="ij")
-    qdirs = _dir_from_theta_phi(tt, pp).reshape(-1, 3)          # (Q, 3)
-    d_omega = (jnp.sin(tt) * (math.pi / N_THETA)
-               * (2.0 * math.pi / N_PHI)).reshape(-1)            # (Q,)
-
-    uv = envmap_ops.dir_to_equirect_uv(qdirs)
-    env_rgb = envmap_ops._bilinear_wrap_u(env_image, uv)         # (Q, 3)
+    N_THETA, N_PHI = quad_dirs or vol.field_dir_buckets
+    env_power, qdirs = env_cell_integrals(env_image, N_THETA, N_PHI)
 
     def per_dir(d):
         dn = jnp.broadcast_to(d, pts.shape)
@@ -314,13 +361,15 @@ def build_scatter_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
     ott, opp = jnp.meshgrid(oth, oph, indexing="ij")
     odirs = _dir_from_theta_phi(ott, opp).reshape(-1, 3)         # (O, 3)
 
-    # HG quadrature weights, row-normalized so a constant T*Env is exact
-    cos_ow = odirs @ qdirs.T                                     # (O, Q)
-    w = phase_ops.hg_phase(cos_ow, hg_g) * d_omega[None, :]
-    w = w / jnp.sum(w, axis=1, keepdims=True)
-
-    t_env = jnp.transpose(t, (1, 0))[:, :, None] * env_rgb[None, :, :]
-    scatter = jnp.einsum("oq,vqc->voc", w, t_env)                # (V, O, 3)
+    # the reference's HG convention is mu-normalized (integrates to 2*pi
+    # over solid angle, ops/phase.py hg_phase); the phase-sampled MC
+    # estimator this field replaces computes E[T*Env] under HG/(2*pi)
+    w = phase_ops.hg_phase(odirs @ qdirs.T, hg_g) / (2.0 * math.pi)  # (O, Q)
+    # 3 MXU matmuls (O,Q)x(Q,V) instead of a (V,Q,3) materialization
+    scatter = jnp.stack(
+        [(w * env_power[:, c][None, :]) @ t for c in range(3)],
+        axis=-1)                                                 # (O, V, 3)
+    scatter = jnp.transpose(scatter, (1, 0, 2))                  # (V, O, 3)
     scatter = scatter.reshape(-1, L_N_THETA, L_N_PHI, 3)
 
     c00 = scatter

@@ -116,7 +116,9 @@ def make_scene(cfg: NRCConfig, density: jnp.ndarray,
     if cfg.env_map.in_scatter_mode == "field":
         env_s_field = lightfield.build_scatter_field(
             corner_table, env_image, cfg.volume, hg_g=cfg.volume.hg_g,
-            steps=cfg.env_map.transmittance_steps)
+            steps=(cfg.env_map.scatter_bake_steps
+                   or cfg.env_map.transmittance_steps),
+            quad_dirs=cfg.env_map.scatter_quad_dirs)
     else:
         env_s_field = jnp.zeros((1, 12), jnp.float32)
     if cfg.path.sampler == "collision":

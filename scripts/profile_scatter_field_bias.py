@@ -57,7 +57,7 @@ from neuralradiancecaching_tpu.scene.scene import make_scene
 
 PTS = int(os.environ.get("PTS", 1024))
 ORACLE_DIRS = tuple(int(x) for x in
-                    os.environ.get("ORACLE_DIRS", "48,96").split(","))
+                    os.environ.get("ORACLE_DIRS", "64,128").split(","))
 ORACLE_STEPS = int(os.environ.get("ORACLE_STEPS", 96))
 DIR_BUCKETS = tuple(int(x) for x in
                     os.environ.get("DIR_BUCKETS", "32,64").split(","))
@@ -87,6 +87,22 @@ def convolved(scene, vol, pts, sdirs, qdirs, d_omega, env_rgb, steps, hg_g):
     w = phase_ops.hg_phase(sdirs @ qdirs.T, hg_g) * d_omega[None, :]
     w = w / jnp.sum(w, axis=1, keepdims=True)             # (S, Q)
     return jnp.einsum("sq,qs,qc->sc", w, t, env_rgb)
+
+
+def convolved_cell(scene, vol, pts, sdirs, env_img, cells, steps, hg_g):
+    """The NEW bake math at exact positions/out-dirs: exact per-cell env
+    power + power-centroid dirs (lightfield.env_cell_integrals), HG
+    unnormalized. value[s] = sum_q HG(sdirs[s] . c_q) T(pts[s], c_q) P_q."""
+    power, qdirs = lightfield.env_cell_integrals(env_img, *cells)
+    def per_dir(d):
+        dn = jnp.broadcast_to(d, pts.shape)
+        _, exit_p, _ = volume_ops.entry_exit_points(pts, dn, vol.box_size,
+                                                    vol.box_center)
+        return volume_ops.transmittance(scene.density, pts, exit_p, steps,
+                                        vol)
+    t = jax.lax.map(per_dir, qdirs)                       # (Q, S)
+    w = phase_ops.hg_phase(sdirs @ qdirs.T, hg_g) / (2.0 * math.pi)
+    return jnp.einsum("sq,qs,qc->sc", w, t, power)
 
 
 def main():
@@ -130,24 +146,22 @@ def main():
 
     F = lightfield.query_radiance_field(scene.env_s_field, pts, sdirs, vol)
 
-    qdirs_b, dom_b = sphere_grid(*vol.field_dir_buckets)
-    env_b = envmap_ops._bilinear_wrap_u(
-        env_img, envmap_ops.dir_to_equirect_uv(qdirs_b))
-    qdirs_o, dom_o = sphere_grid(*ORACLE_DIRS)
-    env_o = envmap_ops._bilinear_wrap_u(
-        env_img, envmap_ops.dir_to_equirect_uv(qdirs_o))
-
-    steps_b = base.env_map.transmittance_steps
+    steps_b = (base.env_map.scatter_bake_steps
+               or base.env_map.transmittance_steps)
+    cells_b = base.env_map.scatter_quad_dirs or DIR_BUCKETS
     legs = {}
     t0 = time.perf_counter()
-    legs["B_c"] = convolved(scene, vol, cpts, sdirs, qdirs_b, dom_b, env_b,
-                            steps_b, vol.hg_g)
-    legs["B_p"] = convolved(scene, vol, pts, sdirs, qdirs_b, dom_b, env_b,
-                            steps_b, vol.hg_g)
-    legs["B_p64"] = convolved(scene, vol, pts, sdirs, qdirs_b, dom_b, env_b,
-                              64, vol.hg_g)
-    legs["O_p"] = convolved(scene, vol, pts, sdirs, qdirs_o, dom_o, env_o,
-                            ORACLE_STEPS, vol.hg_g)
+    legs["B_c"] = convolved_cell(scene, vol, cpts, sdirs, env_img, cells_b,
+                                 steps_b, vol.hg_g)
+    legs["B_p"] = convolved_cell(scene, vol, pts, sdirs, env_img, cells_b,
+                                 steps_b, vol.hg_g)
+    legs["B_p64"] = convolved_cell(scene, vol, pts, sdirs, env_img, cells_b,
+                                   max(64, steps_b), vol.hg_g)
+    # oracle: cell-integrated env at ORACLE_DIRS cells (point-sampled env
+    # quadrature aliases the sun region non-monotonically -- unusable as a
+    # reference), ORACLE_STEPS transmittance
+    legs["O_p"] = convolved_cell(scene, vol, pts, sdirs, env_img,
+                                 ORACLE_DIRS, ORACLE_STEPS, vol.hg_g)
     O = np.asarray(legs["O_p"], np.float64)
     print(f"legs done ({time.perf_counter() - t0:.0f}s); "
           f"oracle mean {O.mean():.5f}", flush=True)
