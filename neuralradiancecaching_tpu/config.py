@@ -663,7 +663,9 @@ def pathtrace_config(width: int = 800, height: int = 800,
     """Config 3: cloud volume path trace with the cache off."""
     return NRCConfig(render=RenderConfig(width=width, height=height, spp=spp,
                                          use_nn=False),
-                     env_map=EnvMapConfig(in_scatter_mode="field"))
+                     env_map=EnvMapConfig(in_scatter_mode="field",
+                                          scatter_quad_dirs=(16, 32),
+                                          scatter_bake_steps=128))
 
 
 def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
@@ -677,7 +679,9 @@ def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
     keeps the reference's optimizers."""
     return NRCConfig(render=RenderConfig(width=width, height=height,
                                          use_nn=True),
-                     env_map=EnvMapConfig(in_scatter_mode="field"),
+                     env_map=EnvMapConfig(in_scatter_mode="field",
+                                          scatter_quad_dirs=(16, 32),
+                                          scatter_bake_steps=128),
                      mlp_opt=OptimizerConfig(kind="adam", beta1=0.9),
                      mrhe=MRHEConfig(optimizer="adam"))
 
@@ -722,7 +726,14 @@ def progressive_1080p_config() -> "NRCConfig":
     return NRCConfig(
         camera=CameraConfig(aspect=1920.0 / 1080.0),
         render=RenderConfig(width=1920, height=1080, use_nn=True),
-        env_map=EnvMapConfig(in_scatter_mode="field"),
+        # exact-cell-power quadrature at (16,32) dirs (resolution beyond
+        # that measured irrelevant once the env integral is exact per
+        # cell) x 128 transmittance steps: scatter-field mean bias vs the
+        # fine-cell oracle -5.5% -> -0.50% at event-weighted points,
+        # bake 7.3 -> 12.9 s (scripts/profile_sfield_knobs.py)
+        env_map=EnvMapConfig(in_scatter_mode="field",
+                             scatter_quad_dirs=(16, 32),
+                             scatter_bake_steps=128),
         # analytic collision sampling: one row gather per scatter event
         # instead of the 32-step sequential density march (measured ~2.5x
         # whole-frame speedup at 1080p, docs/PERFORMANCE.md r2)
