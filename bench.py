@@ -109,12 +109,34 @@ def main():
     from neuralradiancecaching_tpu.scene.camera import pixel_rays
     stride = max(1, (width * height) // (width * 64))
     ro, rd = pixel_rays(scene.camera, width, height)
-    res = pathtrace.trace_path(scene, cfg, ro[::stride], rd[::stride],
-                               jax.random.PRNGKey(99), use_nn=True)
-    # the cap is applied FRAME-GLOBALLY (queries deferred out of the bands),
-    # so it only needs margin for frame-to-frame variation of the mean
-    # fraction, not per-band skew
-    qfrac = float(np.asarray((res.query_weight > 0).mean()))
+
+    # probe-value cache (VERDICT r3 item 4): qfrac / live_frac / ev_mean
+    # are deterministic given (camera pose, scene, sampler config) up to
+    # sub-margin MC wiggle, and each probe costs a cold compile + an
+    # eager-dispatch run over the tunnel. Key on the deterministic
+    # repr(cfg) digest (hash(cfg) is salted per process) + probe keys.
+    import hashlib
+    probe_cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
+        "bench_probes.json")
+    probe_key = hashlib.sha1(
+        f"{repr(cfg)}|99|98|{stride}".encode()).hexdigest()[:16]
+    probes = {}
+    if os.environ.get("BENCH_PROBE_CACHE", "1") != "0":
+        try:
+            with open(probe_cache_path) as f:
+                probes = json.load(f).get(probe_key, {})
+        except (OSError, ValueError):
+            probes = {}
+    if "qfrac" in probes:
+        qfrac = probes["qfrac"]
+    else:
+        res = pathtrace.trace_path(scene, cfg, ro[::stride], rd[::stride],
+                                   jax.random.PRNGKey(99), use_nn=True)
+        # the cap is applied FRAME-GLOBALLY (queries deferred out of the
+        # bands), so it only needs margin for frame-to-frame variation of
+        # the mean fraction, not per-band skew
+        qfrac = float(np.asarray((res.query_weight > 0).mean()))
     # 1/64 cap granularity: the query runs in 32k-row chunks anyway, so
     # coarse 1/16 rounding only over-provisions the pack gather (measured
     # 0.25 vs the needed 0.20 at the bench scene = ~3 extra 32k chunks)
@@ -128,13 +150,16 @@ def main():
     # the mask is deterministic per camera pose (no RNG), so the probed
     # fraction is exact and any cap >= it is drop-free (ADVICE r2)
     from neuralradiancecaching_tpu.ops import lightfield, volume as vol_ops
-    entry_p, _, hit_m = vol_ops.entry_exit_points(ro, rd,
-                                                  cfg.volume.box_size,
-                                                  cfg.volume.box_center)
-    tau0 = lightfield.query_tau_field(scene.env_t_field, entry_p, rd,
-                                      cfg.volume)
-    live_frac = float(np.asarray((np.asarray(hit_m)
-                                  & (np.asarray(tau0) > 1e-4)).mean()))
+    if "live_frac" in probes:
+        live_frac = probes["live_frac"]
+    else:
+        entry_p, _, hit_m = vol_ops.entry_exit_points(ro, rd,
+                                                      cfg.volume.box_size,
+                                                      cfg.volume.box_center)
+        tau0 = lightfield.query_tau_field(scene.env_t_field, entry_p, rd,
+                                          cfg.volume)
+        live_frac = float(np.asarray((np.asarray(hit_m)
+                                      & (np.asarray(tau0) > 1e-4)).mean()))
     # NOTE: march_entry_fraction stays at its config default -- the measured
     # A/B found the entry-kill slower at 1080p (see PathTraceConfig); the
     # probe is reported for observability only.
@@ -143,13 +168,34 @@ def main():
     ev_mean = 0.0
     shade_cap = cfg.render.shade_cap_fraction
     if pathtrace.shade_deferred(cfg):
-        _, ev = pathtrace.trace_path_collision(
-            scene, cfg, ro[::stride], rd[::stride], jax.random.PRNGKey(98),
-            use_nn=True, collect_events=True)
-        ev_mean = float(np.asarray((ev[..., 6] > 0).sum(axis=1).mean()))
-        shade_cap = min(float(ev.shape[1]),
+        if "ev_mean" in probes and "k_slots" in probes:
+            ev_mean, k_slots = probes["ev_mean"], probes["k_slots"]
+        else:
+            _, ev = pathtrace.trace_path_collision(
+                scene, cfg, ro[::stride], rd[::stride],
+                jax.random.PRNGKey(98), use_nn=True, collect_events=True)
+            ev_mean = float(np.asarray((ev[..., 6] > 0).sum(axis=1).mean()))
+            k_slots = float(ev.shape[1])
+        shade_cap = min(k_slots,
                         float(np.ceil((ev_mean * 1.05 + 0.01) / 0.015625)
                               * 0.015625))
+    if os.environ.get("BENCH_PROBE_CACHE", "1") != "0" and not probes:
+        probes = {"qfrac": qfrac, "live_frac": live_frac}
+        if pathtrace.shade_deferred(cfg):
+            probes.update(ev_mean=ev_mean, k_slots=k_slots)
+        try:
+            os.makedirs(os.path.dirname(probe_cache_path), exist_ok=True)
+            try:
+                with open(probe_cache_path) as f:
+                    allp = json.load(f)
+            except (OSError, ValueError):
+                allp = {}
+            allp[probe_key] = probes
+            with open(probe_cache_path, "w") as f:
+                json.dump(allp, f)
+        except OSError:
+            pass
+    _t('cap probes done (cached)' if "qfrac" in probes else 'cap probes done')
     # frame-global live-ray packing: cap from the probed entry-live
     # fraction (measured A/B: pack 0.3125 vs off = 516 vs 549 ms @1080p).
     # The full-frame probe is exact for this camera pose, so a small
@@ -298,6 +344,40 @@ def main():
     result["train_step_ms"] = round(train_dt * 1000, 1)
     result["train_steps_per_s"] = round(1.0 / train_dt, 2)
 
+    # ONLINE frame as a unit (VERDICT r3 item 3): the cli.py progressive
+    # loop's per-frame work -- train + re-bake (every N frames) + banded
+    # render -- measured pipelined exactly like the production loop. The
+    # reference trains every frame (src/main.cpp:181-246); amortized
+    # training (--train-every, default 4 here) trades sub-frame cache
+    # drift for frame rate, re-baking on the same cadence. Every program
+    # here is already compiled above, so this phase costs ~one second.
+    online_every = int(os.environ.get("BENCH_ONLINE_TRAIN_EVERY", 4))
+    frames_o = int(os.environ.get("BENCH_ONLINE_FRAMES", 12))
+    for every, tag in [(1, "online_fps_train_every_frame"),
+                       (online_every, "online_fps")]:
+        st3, baked3 = state, baked
+        img_o = run(jax.random.PRNGKey(300))  # warm pipeline state
+        t0 = time.perf_counter()
+        for i in range(frames_o):
+            if i % every == 0:
+                st3, _ = frame_mod.train_only_step(
+                    st3, scene, jax.random.PRNGKey(600 + i), cfg)
+                baked3 = nrc.bake(st3, cfg)
+            if band and not host_tiled:
+                img_o = render_banded(st3, scene, jax.random.PRNGKey(700 + i),
+                                      cfg, band_rows=band, env_rgb=env_rgb,
+                                      baked=baked3, pack=live_pack)
+            else:
+                img_o = frame_mod.render_only_step(
+                    st3, scene, jax.random.PRNGKey(700 + i), cfg)
+        np.asarray(img_o.sum())
+        dt_o = (time.perf_counter() - t0) / frames_o
+        result[tag] = round(1.0 / dt_o, 2)
+        if every != 1:
+            result["online_frame_ms"] = round(dt_o * 1000, 1)
+            result["online_train_every"] = every
+    _t('online frame timing done')
+
     if os.environ.get("BENCH_QUALITY", "1") != "0":
         result.update(quality_metrics(cfg, scene, state))
 
@@ -335,9 +415,15 @@ def quality_metrics(cfg, scene, state):
     )
     st = state
     for i in range(train_steps):
+        # train with the FULL-RES cfg, not qcfg: train_only_step consumes
+        # only train/path/volume config + scene.camera (render size and
+        # cfg.camera.aspect never reach the batch), and cfg's program is
+        # already compiled from the bench's init-train loop -- qcfg was a
+        # ~100 s duplicate compile of the most expensive program for a
+        # bit-identical result (VERDICT r3 item 4)
         st, _ = frame_mod.train_only_step(st, scene,
                                           jax.random.PRNGKey(1000 + i),
-                                          qcfg)
+                                          cfg)
     np.asarray(st.hash_table.sum())
     _t(f'quality: {train_steps} train steps done')
 

@@ -317,31 +317,53 @@ def cmd_progressive(args) -> None:
                          if banded
                          and cfg.render.live_pack_fraction > 0.0 else None)
         key = jax.random.PRNGKey(args.seed * 31 + i)
-        rebake = baked is None or i % max(args.bake_every, 1) == 0
+        # --train-every N: amortized online training (the train step is a
+        # whole separate device program ~as expensive as the render; N>1
+        # runs it every Nth frame and re-bakes on the same cadence)
+        do_train = i % max(getattr(args, "train_every", 1), 1) == 0
+        # the bake only changes when the state does -- never rebake on a
+        # frame that didn't train
+        rebake = baked is None or (do_train
+                                   and i % max(args.bake_every, 1) == 0)
         if mesh is not None and banded:
             from neuralradiancecaching_tpu.parallel import (
+                dp_render_banded, dp_render_banded_packed,
                 dp_train_banded_frame)
-            state, img, mse, baked2 = dp_train_banded_frame(
-                state, scene, key, cfg, mesh, band_rows=band,
-                env_rgb=env_rgb, baked=None if rebake else baked,
-                pack=live_pack)
-            if rebake:
-                baked = baked2
+            if do_train:
+                state, img, mse, baked2 = dp_train_banded_frame(
+                    state, scene, key, cfg, mesh, band_rows=band,
+                    env_rgb=env_rgb, baked=None if rebake else baked,
+                    pack=live_pack)
+                if rebake:
+                    baked = baked2
+            elif live_pack is not None:
+                img = dp_render_banded_packed(
+                    state, scene, key, cfg, mesh, band_rows=band,
+                    env_rgb=env_rgb, baked=baked, pack=live_pack)
+            else:
+                img = dp_render_banded(state, scene, key, cfg, mesh,
+                                       band_rows=band, env_rgb=env_rgb,
+                                       baked=baked)
         elif mesh is not None:
             from neuralradiancecaching_tpu.parallel import dp_frame_step
-            state, img, mse = dp_frame_step(state, scene, key, cfg, mesh)
+            state, img, mse = dp_frame_step(state, scene, key, cfg, mesh,
+                                            train=do_train)
         elif banded:
             from neuralradiancecaching_tpu.render.tiled import render_banded
             k1, k2 = jax.random.split(key)
-            state, mse = frame_mod.train_only_step(state, scene, k1, cfg)
+            if do_train:
+                state, mse = frame_mod.train_only_step(state, scene, k1, cfg)
             if rebake:
                 baked = nrc_mod.bake(state, cfg)
             img = render_banded(state, scene, k2, cfg, band_rows=band,
                                 env_rgb=env_rgb, baked=baked,
                                 pack=live_pack)
         else:
-            state, out = frame_mod.frame_step(state, scene, key, cfg)
-            img, mse = out.image, out.mse
+            state, out = frame_mod.frame_step(state, scene, key, cfg,
+                                              train=do_train)
+            img = out.image
+            if do_train:  # no-train frames report 0, not a real loss
+                mse = out.mse
         accum = accum + img.reshape(accum.shape)
         n_accum += 1
         # metrics land once per sync window: between syncs the host only
@@ -431,6 +453,11 @@ def main(argv=None) -> None:
     sp.add_argument("--bake-every", dest="bake_every", type=int, default=4,
                     help="dense-MRHE rebake interval (frames); cache drift "
                          "per frame is tiny at production lr")
+    sp.add_argument("--train-every", dest="train_every", type=int, default=1,
+                    help="train-step interval (frames): 1 trains every "
+                         "frame like the reference (main.cpp:181-246); N>1 "
+                         "amortizes the train step over N frames for "
+                         "interactive rates (pair with --bake-every)")
     sp.add_argument("--sync-every", dest="sync_every", type=int, default=4,
                     help="host sync interval (frames); dispatches pipeline "
                          "K frames ahead between syncs")

@@ -227,6 +227,15 @@ class VolumeConfig:
     # memory + bake time (query cost unchanged: same row size). Finer
     # VOXELS barely move it; CDF knots help only the mean.
     field_dir_buckets: Tuple[int, int] = (16, 32)
+    # (theta, phi) OUT-direction bucket resolution of the HG-convolved
+    # scatter field (and the premultiplied radiance field): the query-side
+    # bilinear grid over the event's outgoing direction. Real render
+    # events cluster their directions where the HG-sun lobe peaks, so
+    # 22-deg bins under-resolve exactly there: measured -5.5% mean field
+    # error at event-weighted render events vs -1.1% at uniform dirs
+    # (scripts/profile_sfield_events.py). Row size (12) and query cost are
+    # bucket-count-independent; memory/bake scale linearly with the count.
+    field_out_buckets: Tuple[int, int] = (8, 16)
 
 
 @dataclass(frozen=True)

@@ -199,6 +199,10 @@ def precompute_for_scene(scene, cfg: NRCConfig):
 # 8 HG samples), kept OFF the reference-default config.
 # ---------------------------------------------------------------------------
 
+# NOTE: like N_THETA/N_PHI above, these are only the DEFAULT of
+# VolumeConfig.field_out_buckets -- build_radiance_field /
+# build_scatter_field / query_radiance_field all shadow them from
+# `vol.field_out_buckets`, so patching the module attributes has NO effect.
 L_N_THETA = 8
 L_N_PHI = 16
 
@@ -211,6 +215,7 @@ def build_radiance_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
     """(V * L_N_THETA * L_N_PHI, 12) rows: the (theta, phi) bilinear patch
     of T * Env rgb (WITHOUT the hpm strength -- applied at query time)."""
     field_shape = field_shape or vol.field_shape
+    L_N_THETA, L_N_PHI = vol.field_out_buckets
     nx, ny, nz = field_shape
     size = jnp.asarray(vol.box_size, jnp.float32)
     center = jnp.asarray(vol.box_center, jnp.float32)
@@ -332,6 +337,7 @@ def build_scatter_field(density_field: jnp.ndarray, env_image: jnp.ndarray,
     vol.field_dir_buckets; EnvMapConfig.scatter_quad_dirs overrides).
     """
     field_shape = field_shape or vol.field_shape
+    L_N_THETA, L_N_PHI = vol.field_out_buckets
     from neuralradiancecaching_tpu.ops import phase as phase_ops
 
     size = jnp.asarray(vol.box_size, jnp.float32)
@@ -388,6 +394,7 @@ def query_radiance_field(field: jnp.ndarray, pos: jnp.ndarray,
     """T*Env rgb seen from pos toward exit along d: one 12-float row gather
     + (theta, phi) bilinear. (..., 3)."""
     field_shape = field_shape or vol.field_shape
+    L_N_THETA, L_N_PHI = vol.field_out_buckets
     nx, ny, nz = field_shape
     uvw = volume_ops.world_to_uvw(pos, vol.box_size, vol.box_center)
     ijk = jnp.clip((uvw * jnp.asarray(field_shape, uvw.dtype)).astype(

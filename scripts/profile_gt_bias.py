@@ -110,7 +110,11 @@ def main():
         # fixed-seed legs are deterministic given the full config: cache on
         # its hash so field-knob iterations skip the unchanged legs
         # (oracle 231 s, coll+mc 187 s per run)
-        tag = f"{name.replace('+', '_')}_{SIDE}_{SPP}_{hash(cfg) & 0xffffffff:08x}"
+        import hashlib
+        # repr(cfg) is deterministic across processes (hash(cfg) is NOT:
+        # str field hashes are salted per interpreter)
+        digest = hashlib.sha1(repr(cfg).encode()).hexdigest()[:12]
+        tag = f"{name.replace('+', '_')}_{SIDE}_{SPP}_{digest}"
         path = os.path.join(cache_dir, tag + ".npz")
         if os.path.exists(path):
             z = np.load(path)
