@@ -458,6 +458,42 @@ def quality_metrics(cfg, scene, state):
     bias_rel, floor_rel = noise_subtracted_bias(img_nn, img_nn2,
                                                 img_ref, img_ref2)
 
+    # GROUND-TRUTH leg (VERDICT r3 item 1): the shipped no-NN render vs
+    # the FULLY UNBIASED oracle -- delta sampler + ratio-tracked
+    # transmittance + MC in-scatter (the repo's own ground truth; the
+    # reference analogue is the no-cache path tracer,
+    # path-tracer.frag:38-40). Same twin-pair noise subtraction. Run at
+    # 256^2 (the bias is estimator-level, not resolution-level -- the
+    # probe ledger in docs/PERFORMANCE.md carries the transfer check);
+    # BENCH_QUALITY_GT=0 skips, BENCH_QUALITY_GT_SPP tunes the floor.
+    gt = {}
+    if os.environ.get("BENCH_QUALITY_GT", "1") != "0":
+        gt_spp = int(os.environ.get("BENCH_QUALITY_GT_SPP", 16))
+        gt_side = int(os.environ.get("BENCH_QUALITY_GT_SIZE", 256))
+        gcfg = dataclasses.replace(
+            qcfg, render=dataclasses.replace(qcfg.render, width=gt_side,
+                                             height=gt_side, use_nn=False))
+        ocfg = dataclasses.replace(
+            gcfg,
+            path=dataclasses.replace(gcfg.path, sampler="delta",
+                                     transmittance_mode="ratio"),
+            env_map=dataclasses.replace(gcfg.env_map, in_scatter_mode="mc",
+                                        transmittance_mode="ratio"))
+        g1 = accum(gcfg, gt_spp, 20000)
+        g2 = accum(gcfg, gt_spp, 24000)
+        o1 = accum(ocfg, 2 * gt_spp, 21000)
+        o2 = accum(ocfg, 2 * gt_spp, 25000)
+        _t('quality: ground-truth twin accumulations done')
+        gt_bias, gt_floor = noise_subtracted_bias(g1, g2, o1, o2)
+        om = (o1 + o2).mean() / 2
+        gt = {
+            "ground_truth_rmse_noise_sub": round(gt_bias, 5),
+            "ground_truth_noise_floor": round(gt_floor, 5),
+            "ground_truth_mean_delta": round(
+                float((g1 + g2).mean() / 2 - om) / max(float(om), 1e-9), 5),
+            "ground_truth_spp": gt_spp,
+        }
+
     # cap bias A/B (same single key; shading deterministic in field mode)
     uncapped = dataclasses.replace(
         qcfg,
@@ -483,6 +519,7 @@ def quality_metrics(cfg, scene, state):
         "cap_bias_rmse": round(float(relative_rmse(a, b)), 6),
         "cap_bias_mean_delta": round(float(a.mean() - b.mean())
                                      / max(float(b.mean()), 1e-9), 6),
+        **gt,
     }
     if qcfg.path.sampler in ("collision", "delta"):
         out.update(cache_quality(qcfg, scene, st))

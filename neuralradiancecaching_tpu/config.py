@@ -417,6 +417,18 @@ class PathTraceConfig:
     # their factors at 1). 96 covers the production cloud's box diagonal
     # (0.4 * 107.5 = 43 expected candidates) at > +7 sigma.
     ratio_tracking_steps: int = 96
+    # exact FIRST-step tau for the collision sampler: the walk's slot-0
+    # tau (-> T0 see-through and the first-event branch weight p_sc)
+    # comes from an `entry_tau_steps`-point quadrature at the ray's exact
+    # entry point instead of the voxel-center-anchored bilinear collision
+    # row. Primary rays enter ON the box face -- maximally far from the
+    # row's anchor -- and the measured first-event p_sc error there is
+    # +6.5% (+3.5% anchor, +3% direction bilinear;
+    # scripts/profile_coll_bias.py), the dominant leg of the sampler's
+    # ground-truth image bias. ONE batched (n_live x steps) density
+    # gather per frame (~2-3 ms at packed 1080p); interior events keep
+    # the row tau (-1.0% measured). 0 restores the row tau at slot 0.
+    entry_tau_steps: int = 64
     # cross-ray scatter-event compaction for the shading phase (NN mode):
     # shade only the valid events, packed to the front by a sort, capped at
     # `compact_events` events per ray on average. NOTE: overflow drops are
@@ -674,7 +686,8 @@ def pathtrace_config(width: int = 800, height: int = 800,
                                          use_nn=False),
                      env_map=EnvMapConfig(in_scatter_mode="field",
                                           scatter_quad_dirs=(16, 32),
-                                          scatter_bake_steps=128))
+                                          scatter_bake_steps=128),
+                     volume=VolumeConfig(field_out_buckets=(16, 32)))
 
 
 def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
@@ -691,6 +704,7 @@ def nrc_online_config(width: int = 800, height: int = 800) -> "NRCConfig":
                      env_map=EnvMapConfig(in_scatter_mode="field",
                                           scatter_quad_dirs=(16, 32),
                                           scatter_bake_steps=128),
+                     volume=VolumeConfig(field_out_buckets=(16, 32)),
                      mlp_opt=OptimizerConfig(kind="adam", beta1=0.9),
                      mrhe=MRHEConfig(optimizer="adam"))
 
@@ -756,8 +770,13 @@ def progressive_1080p_config() -> "NRCConfig":
         # at both resolutions) -- measured 14.05 vs 13.45 Mrays/s @1080p.
         # Cost: 4x field bake time/memory (~1 GB bf16), query row cost
         # UNCHANGED (row size is bucket-count-independent).
+        # (16, 32) OUT-dir buckets: -5.2% -> +0.5% mean scatter-field
+        # error at real render events (scripts/profile_sfield_events.py;
+        # finer buckets don't help -- spatial-nearest noise remains).
+        # 378 MB bf16; query row cost unchanged.
         volume=VolumeConfig(field_dtype="bfloat16",
-                            field_dir_buckets=(32, 64)),
+                            field_dir_buckets=(32, 64),
+                            field_out_buckets=(16, 32)),
         # guarded Adam on MLP + hash table: converged cache error 0.038 vs
         # 0.235 for the reference's SGD pair (scripts/profile_adam.py)
         mlp_opt=OptimizerConfig(kind="adam", beta1=0.9),

@@ -227,13 +227,31 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         q_dir: jnp.ndarray      # (N, 3) incoming dir at the cut
         last_in: jnp.ndarray    # (N, 3) previous event's incoming dir
         q_w: jnp.ndarray        # (N,) weight at the cut (incl. quirk phase)
+        etau: jnp.ndarray       # (N,) exact entry tau (0-width when off)
+
+    # exact slot-0 tau (PathTraceConfig.entry_tau_steps): primary rays sit
+    # ON the box face, maximally far from the collision row's voxel-center
+    # anchor -- measured +6.5% first-event p_sc / -1.1% T0 bias from the
+    # row there (scripts/profile_coll_bias.py). One batched quadrature at
+    # the exact entry fixes both; rides the CARRY so the march split packs
+    # it with the lanes (it never fires after slot 0: tau0 is set then).
+    exact_entry = (pt.sampler == "collision" and pt.entry_tau_steps > 0)
+    if exact_entry:
+        _, exit_e, _ = volume_ops.entry_exit_points(entry, rd, vol.box_size,
+                                                    vol.box_center)
+        t_e = volume_ops.transmittance(scene.density, entry, exit_e,
+                                       pt.entry_tau_steps, vol)
+        etau0 = jnp.minimum(-jnp.log(jnp.maximum(t_e, 1e-20)), 40.0)
+    else:
+        etau0 = jnp.zeros((n,), dtype=dtype)
 
     init = S(pos=entry, dir=rd, weight=jnp.ones((n,), dtype=dtype),
              term_prob=jnp.ones((n,), dtype=dtype), done=~hit,
              tau0=jnp.full((n,), -1.0, dtype=dtype),
              has_q=jnp.zeros((n,), dtype=bool),
              q_pos=entry, q_dir=rd, last_in=rd,
-             q_w=jnp.zeros((n,), dtype=dtype))
+             q_w=jnp.zeros((n,), dtype=dtype),
+             etau=etau0)
 
     delta = pt.sampler == "delta"
     n_null = pt.delta_null_steps
@@ -330,6 +348,11 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         else:
             tau, knots = collision.query_collision_rows(scene.coll_field,
                                                         s.pos, s.dir, vol)
+            if exact_entry:
+                # slot 0 only (tau0 unset): exact-quadrature entry tau
+                # replaces the row tau for T0 + the first-event branch;
+                # knots still map the row profile's shape to distances
+                tau = jnp.where(s.tau0 < 0.0, s.etau, tau)
             p_sc = -jnp.expm1(-tau)
             alive = ~s.done & (p_sc > 1e-6)
             t = collision.knots_to_distance(tau, knots, u_t)
@@ -396,7 +419,7 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             # (scripts/profile_march_ops.py: stacking, not gather/math)
             ys = tuple(y.astype(jnp.bfloat16) for y in ys)
         return S(pos2, dir2, weight, term_prob, done, tau0, has_q, q_pos,
-                 q_dir, last_in, q_w), ys
+                 q_dir, last_in, q_w, s.etau), ys
 
     # march split: full-width slots 0..p1-1, then pack the live lanes
     # (<= 12.5% after 3 RR-gated scatters in NN mode; weight-RR'd in no-NN
