@@ -151,7 +151,7 @@ def dp_render_banded_packed(state: nrc.NRCState, scene: Scene,
     if pack is None:
         pack = tiled.frame_live_pack(scene, cfg, band_rows,
                                      multiple_of=n_dev)
-    sel, val, ro_p, rd_p, inv = pack
+    sel, val, ro_p, rd_p, inv, et_p = pack
     band_n = band_rows * w
     n_bands_p = ro_p.shape[0]
     if n_bands_p % n_dev != 0:
@@ -166,19 +166,22 @@ def dp_render_banded_packed(state: nrc.NRCState, scene: Scene,
     inverse = np.argsort(band_of_dev)
     ro_s = ro_p[band_of_dev]
     rd_s = rd_p[band_of_dev]
+    et_s = et_p.reshape(n_bands_p, band_n)[band_of_dev]
     val_s = val.reshape(n_bands_p, band_n)[band_of_dev].reshape(-1)
     band_ids = jnp.asarray(band_of_dev.reshape(n_dev, -1), jnp.int32)
 
-    def body(s, bk, sc, k, ro_l, rd_l, ids_l, val_l):
+    def body(s, bk, sc, k, ro_l, rd_l, et_l, ids_l, val_l):
         def band(args):
-            gid, ro_i, rd_i = args
+            gid, ro_i, rd_i, et_i = args
             # key by GLOBAL packed band id == the single-chip packed
             # program's fold_in ids -> image independent of mesh size
             return pathtrace.render_band_deferred(
-                sc, cfg, ro_i, rd_i, jax.random.fold_in(k, gid))
+                sc, cfg, ro_i, rd_i, jax.random.fold_in(k, gid),
+                entry_tau=et_i)
 
         rgb, trans, qp, qd, qw, ev = jax.lax.map(band,
-                                                 (ids_l[0], ro_l, rd_l))
+                                                 (ids_l[0], ro_l, rd_l,
+                                                  et_l))
         rgb = rgb.reshape(-1, 3)
         trans = trans.reshape(-1)
         qp, qd = qp.reshape(-1, 3), qd.reshape(-1, 3)
@@ -198,11 +201,11 @@ def dp_render_banded_packed(state: nrc.NRCState, scene: Scene,
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS), P(DATA_AXIS)),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False)
-    rgb_s, trans_s = fn(state, baked, scene, key, ro_s, rd_s, band_ids,
-                        val_s)
+    rgb_s, trans_s = fn(state, baked, scene, key, ro_s, rd_s, et_s,
+                        band_ids, val_s)
     # un-stripe to canonical pack order, then un-pack to pixel order with
     # ONE (n, 4) gather through the pose-static inverse map (rgb fill 0,
     # trans fill 1) -- same fused un-pack as the single-chip finish
@@ -277,16 +280,38 @@ def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
         bands = ro_l.shape[0] // (band_rows * w)
         ro_b = ro_l.reshape(bands, band_rows * w, 3)
         rd_b = rd_l.reshape(bands, band_rows * w, 3)
+        if cfg.path.entry_tau_steps > 0 and cfg.path.sampler == "collision":
+            # exact entry tau over this shard's rays (one batched
+            # quadrature per band via the map; pose-static, so a future
+            # hoist could lift it like env_rgb -- the packed DP path
+            # already does, via the pack)
+            from neuralradiancecaching_tpu.ops import volume as volume_ops
+            vol = cfg.volume
+            entry, exit_p, _ = volume_ops.entry_exit_points(
+                ro_l, rd_l, vol.box_size, vol.box_center)
+            t_e = volume_ops.transmittance(sc.density, entry, exit_p,
+                                           cfg.path.entry_tau_steps, vol)
+            et_b = jnp.minimum(-jnp.log(jnp.maximum(t_e, 1e-20)),
+                               40.0).reshape(bands, band_rows * w)
 
-        def band(args):
-            gid, ro_i, rd_i = args
-            # key by GLOBAL band id -> image independent of mesh size
-            return pathtrace.render_band_deferred(
-                sc, cfg, ro_i, rd_i,
-                jax.random.fold_in(k, gid * band_rows))
+            def band(args):
+                gid, ro_i, rd_i, et_i = args
+                return pathtrace.render_band_deferred(
+                    sc, cfg, ro_i, rd_i,
+                    jax.random.fold_in(k, gid * band_rows), entry_tau=et_i)
 
-        rgb, trans, qp, qd, qw, ev = jax.lax.map(band,
-                                                 (ids_l[0], ro_b, rd_b))
+            rgb, trans, qp, qd, qw, ev = jax.lax.map(
+                band, (ids_l[0], ro_b, rd_b, et_b))
+        else:
+            def band(args):
+                gid, ro_i, rd_i = args
+                # key by GLOBAL band id -> image independent of mesh size
+                return pathtrace.render_band_deferred(
+                    sc, cfg, ro_i, rd_i,
+                    jax.random.fold_in(k, gid * band_rows))
+
+            rgb, trans, qp, qd, qw, ev = jax.lax.map(band,
+                                                     (ids_l[0], ro_b, rd_b))
 
         def query_fn(qpos, qdir):
             return nrc.query_baked(s, bk, qpos, qdir, cfg)
@@ -439,7 +464,7 @@ def probe_dp_caps(scene: Scene, cfg: NRCConfig, mesh_n: int,
     if key is None:
         key = jax.random.PRNGKey(97)
     if pack is not None:
-        _, val, ro_p, rd_p, _ = pack
+        _, val, ro_p, rd_p, _, _ = pack
         ro_f = ro_p.reshape(-1, 3)
         rd_f = rd_p.reshape(-1, 3)
         n_lanes = ro_f.shape[0]

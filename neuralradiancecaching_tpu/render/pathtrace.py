@@ -162,7 +162,8 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                          rd: jnp.ndarray, key: jax.Array, use_nn: bool,
                          env_samples: int | None = None,
                          max_bounces: int | None = None,
-                         collect_events: bool = False):
+                         collect_events: bool = False,
+                         entry_tau: jnp.ndarray | None = None):
     """Analytic-collision path walk (PathTraceConfig.sampler='collision').
 
     Replaces the reference's 32-step sequential density march with exact
@@ -236,7 +237,13 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     # the exact entry fixes both; rides the CARRY so the march split packs
     # it with the lanes (it never fires after slot 0: tau0 is set then).
     exact_entry = (pt.sampler == "collision" and pt.entry_tau_steps > 0)
-    if exact_entry:
+    if exact_entry and entry_tau is not None:
+        # pose-static hoist: the per-frame quadrature costs ~20x the
+        # march's own gather volume (measured 19.1 -> 6.7 Mrays/s when
+        # computed in-program at 1080p) -- banded/packed callers pass the
+        # per-pose tau (tiled.frame_entry_tau / frame_live_pack)
+        etau0 = entry_tau.astype(dtype)
+    elif exact_entry:
         _, exit_e, _ = volume_ops.entry_exit_points(entry, rd, vol.box_size,
                                                     vol.box_center)
         t_e = volume_ops.transmittance(scene.density, entry, exit_e,
@@ -814,7 +821,8 @@ def shade_deferred(cfg: NRCConfig) -> bool:
 
 
 def render_band_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
-                         rd: jnp.ndarray, key: jax.Array):
+                         rd: jnp.ndarray, key: jax.Array,
+                         entry_tau: jnp.ndarray | None = None):
     """Band-local render work with the cache query -- and, in collision
     mode, ALL event shading -- DEFERRED to the caller.
 
@@ -838,7 +846,8 @@ def render_band_deferred(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     """
     if shade_deferred(cfg):
         res, ev = trace_path_collision(scene, cfg, ro, rd, key, use_nn=True,
-                                       collect_events=True)
+                                       collect_events=True,
+                                       entry_tau=entry_tau)
     else:
         res = trace_path(scene, cfg, ro, rd, key, use_nn=True)
         ev = jnp.zeros((ro.shape[0], 0, 7), dtype=ro.dtype)

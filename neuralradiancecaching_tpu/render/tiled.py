@@ -88,6 +88,26 @@ def frame_env_color(scene: Scene, cfg: NRCConfig) -> jnp.ndarray:
     return envmap_ops.sample_direct(scene.env, rd, hpm=False)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def frame_entry_tau(scene: Scene, cfg: NRCConfig) -> jnp.ndarray:
+    """Exact entry optical depth per pixel ray (N,) for the current pose
+    (PathTraceConfig.entry_tau_steps quadrature from the analytic AABB
+    entry point). Static per camera pose, like frame_env_color: computing
+    it in-program costs ~20x the march's gather volume (19.1 -> 6.7
+    Mrays/s measured at 1080p), hoisted it is one bake per camera move.
+    Zeros when entry_tau_steps == 0 (the walk then keeps the row tau)."""
+    from neuralradiancecaching_tpu.ops import volume as volume_ops
+    vol = cfg.volume
+    ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+    if cfg.path.entry_tau_steps <= 0 or cfg.path.sampler != "collision":
+        return jnp.zeros((ro.shape[0],), ro.dtype)
+    entry, exit_p, _ = volume_ops.entry_exit_points(ro, rd, vol.box_size,
+                                                    vol.box_center)
+    t_e = volume_ops.transmittance(scene.density, entry, exit_p,
+                                   cfg.path.entry_tau_steps, vol)
+    return jnp.minimum(-jnp.log(jnp.maximum(t_e, 1e-20)), 40.0)
+
+
 def render_tiled(state: nrc.NRCState, scene: Scene, key: jax.Array,
                  cfg: NRCConfig, band_rows: int = 128) -> jnp.ndarray:
     """Render (H, W, 3) with a host-side loop over `band_rows`-row bands.
@@ -120,13 +140,17 @@ def render_tiled(state: nrc.NRCState, scene: Scene, key: jax.Array,
 
 @partial(jax.jit, static_argnames=("cfg", "band_rows"))
 def _bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
-                   band_rows: int):
+                   band_rows: int, entry_tau=None):
     """lax.map over row bands: march + shade, queries deferred."""
     h, w = cfg.render.height, cfg.render.width
     n_bands = h // band_rows
     ro, rd = pixel_rays(scene.camera, w, h)
     ro_b = ro.reshape(n_bands, band_rows * w, 3)
     rd_b = rd.reshape(n_bands, band_rows * w, 3)
+    if entry_tau is None and cfg.path.entry_tau_steps > 0             and cfg.path.sampler == "collision" and cfg.render.use_nn:
+        entry_tau = frame_entry_tau(scene, cfg)  # pose-static; see helper
+    et_b = (entry_tau.reshape(n_bands, band_rows * w)
+            if entry_tau is not None else None)
     y0s = jnp.arange(n_bands, dtype=jnp.int32) * band_rows
 
     if not cfg.render.use_nn:
@@ -149,7 +173,18 @@ def _bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
         s = cfg.render.spp
         ro_b = jnp.tile(ro_b, (s, 1, 1))
         rd_b = jnp.tile(rd_b, (s, 1, 1))
+        if et_b is not None:
+            et_b = jnp.tile(et_b, (s, 1))
         y0s = jnp.arange(n_bands * s, dtype=jnp.int32) * band_rows
+
+    if et_b is not None:
+        def band(args):
+            y0, ro_i, rd_i, et_i = args
+            return pathtrace.render_band_deferred(
+                scene, cfg, ro_i, rd_i, jax.random.fold_in(key, y0),
+                entry_tau=et_i)
+
+        return jax.lax.map(band, (y0s, ro_b, rd_b, et_b))
 
     def band(args):
         y0, ro_i, rd_i = args
@@ -218,10 +253,25 @@ def frame_live_pack(scene: Scene, cfg: NRCConfig, band_rows: int = 54,
     sel, val = compact.compact_select(live, capm)
     ro_p = jnp.take(ro, sel, axis=0).reshape(-1, band_n, 3)
     rd_p = jnp.take(rd, sel, axis=0).reshape(-1, band_n, 3)
+    # exact entry tau over the PACKED lanes (pose-static like the pack
+    # itself; see frame_entry_tau -- in-program it costs ~20x the march's
+    # gather volume). Padding lanes get 0 (their outputs are masked).
+    if cfg.path.entry_tau_steps > 0 and cfg.path.sampler == "collision":
+        ro_f = ro_p.reshape(-1, 3)
+        rd_f = rd_p.reshape(-1, 3)
+        entry, exit_p, _ = volume_ops.entry_exit_points(
+            ro_f, rd_f, vol.box_size, vol.box_center)
+        t_e = volume_ops.transmittance(scene.density, entry, exit_p,
+                                       cfg.path.entry_tau_steps, vol)
+        et_p = jnp.minimum(-jnp.log(jnp.maximum(t_e, 1e-20)),
+                           40.0).reshape(-1, band_n)
+        et_p = jnp.where(val.reshape(-1, band_n), et_p, 0.0)
+    else:
+        et_p = jnp.zeros(ro_p.shape[:2], ro_p.dtype)
     # inverse map: turns the per-frame un-pack into ONE gather (the two
     # full-width scatters move here, off the per-frame path)
     inv = compact.inverse_select(n, sel, val)
-    return sel, val, ro_p, rd_p, inv
+    return sel, val, ro_p, rd_p, inv, et_p
 
 
 @partial(jax.jit, static_argnames=("cfg", "band_rows"))
@@ -237,11 +287,12 @@ def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
     w = cfg.render.width
     if pack is None:
         pack = frame_live_pack(scene, cfg, band_rows)
-    sel, val, ro_p, rd_p, inv = pack
+    sel, val, ro_p, rd_p, inv, et_p = pack
     band_n = band_rows * w
     capm = ro_p.shape[0] * band_n
     ro_p = ro_p.reshape(-1, band_n, 3)
     rd_p = rd_p.reshape(-1, band_n, 3)
+    et_p = et_p.reshape(-1, band_n)
 
     # in-program spp over the PACKED lanes: the live mask is per pixel ray
     # (the spp copies share origin/direction, only the walk keys differ --
@@ -252,14 +303,16 @@ def _packed_bands_program(scene: Scene, key: jax.Array, cfg: NRCConfig,
     if spp > 1:
         ro_p = jnp.tile(ro_p, (spp, 1, 1))  # copy-major, like _bands_program
         rd_p = jnp.tile(rd_p, (spp, 1, 1))
+        et_p = jnp.tile(et_p, (spp, 1))
 
     def band(args):
-        i, ro_i, rd_i = args
+        i, ro_i, rd_i, et_i = args
         return pathtrace.render_band_deferred(scene, cfg, ro_i, rd_i,
-                                              jax.random.fold_in(key, i))
+                                              jax.random.fold_in(key, i),
+                                              entry_tau=et_i)
 
     ids = jnp.arange(spp * (capm // band_n), dtype=jnp.int32)
-    rgb, trans, qp, qd, qw, ev = jax.lax.map(band, (ids, ro_p, rd_p))
+    rgb, trans, qp, qd, qw, ev = jax.lax.map(band, (ids, ro_p, rd_p, et_p))
     rgb = rgb.reshape(-1, 3)
     trans = trans.reshape(-1)
     qp, qd = qp.reshape(-1, 3), qd.reshape(-1, 3)
@@ -309,7 +362,8 @@ def _finish_packed(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
 
 def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
                   cfg: NRCConfig, band_rows: int = 54,
-                  env_rgb=None, baked=None, pack=None) -> jnp.ndarray:
+                  env_rgb=None, baked=None, pack=None,
+                  entry_tau=None) -> jnp.ndarray:
     """Whole frame as TWO jitted programs: ``lax.map`` over row bands for
     the march+shade, then a frame-global compacted cache query. (One fused
     program exceeds the axon remote compile helper's size limit at 1080p;
@@ -323,7 +377,12 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
     several frames from one cache state (bench) or baking every N frames
     of a training run (cache drift per frame is tiny at production lr).
     pack: precomputed :func:`frame_live_pack` (static per camera pose,
-    same band_rows/live_pack_fraction as this call).
+    same band_rows/live_pack_fraction as this call); it carries the
+    packed exact entry tau.
+    entry_tau: precomputed :func:`frame_entry_tau` for the UNPACKED
+    banded path (the packed path gets it from the pack); computed
+    in-program per frame when omitted (correct but ~20x the march's
+    gather volume -- hoist it in frame loops).
     """
     h, w = cfg.render.height, cfg.render.width
     assert h % band_rows == 0, (h, band_rows)
@@ -341,7 +400,8 @@ def render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
                              qp, qd, qw, ev, cfg, env_rgb)
         return out.reshape(h, w, 3)
 
-    rgb, trans, qp, qd, qw, ev = _bands_program(scene, key, cfg, band_rows)
+    rgb, trans, qp, qd, qw, ev = _bands_program(scene, key, cfg, band_rows,
+                                                entry_tau)
     ev = ev.reshape((ev.shape[0] * ev.shape[1],) + ev.shape[2:])
     out = _finish(state, baked, scene, rgb.reshape(-1, 3),
                   trans.reshape(-1), qp.reshape(-1, 3), qd.reshape(-1, 3),
