@@ -58,6 +58,7 @@ def timeit(name, fn, *args):
 
 def main():
     cfg = cfg_mod.progressive_1080p_config()
+    tcfg = None  # set after scene build: the row-tau train cfg
     density = assets.load_cloud()
     env_img = assets.load_env_map()
     scene = make_scene(cfg, density, env_img)
@@ -65,13 +66,14 @@ def main():
     print("scene + state ready", flush=True)
 
     key = jax.random.PRNGKey(7)
+    tcfg = targets._row_tau_cfg(cfg)
 
     # --- live-lane decay of the no-NN target walk (sizes the split) ---
     @jax.jit
-    def live_decay(key):
+    def live_decay(sc, key):
         k_v, k_t = jax.random.split(key)
-        ro, rd = targets.train_ray_pool(scene, cfg, k_v)
-        res = pathtrace.trace_path_collision(scene, cfg, ro, rd, k_v,
+        ro, rd = targets.train_ray_pool(sc, cfg, k_v)
+        res = pathtrace.trace_path_collision(sc, tcfg, ro, rd, k_v,
                                              use_nn=True, env_samples=0)
         has = res.query_weight > 0.0
         n = ro.shape[0] // max(1, cfg.train.vertex_oversample)
@@ -83,14 +85,14 @@ def main():
         d_t = phase_ops.sample_hg_direction(k_t, d_in, cfg.volume.hg_g)
         # march WITH event collection: per-slot weights expose liveness
         _, ev = pathtrace.trace_path_collision(
-            scene, cfg, pos_t, d_t, k_t, use_nn=False,
+            sc, tcfg, pos_t, d_t, k_t, use_nn=False,
             env_samples=cfg.train.env_samples,
             max_bounces=cfg.train.target_bounces, collect_events=True)
         w = ev[..., 6].astype(jnp.float32)  # (N, K) ray-major
         alive = (w > 0.0)
         return alive.mean(axis=0), alive.sum(axis=1).mean(), has.mean()
 
-    frac, ev_mean, cut_frac = live_decay(key)
+    frac, ev_mean, cut_frac = live_decay(scene, key)
     frac = np.asarray(frac)
     print(f"cut fraction {float(cut_frac):.3f}  mean events/lane "
           f"{float(ev_mean):.2f}", flush=True)
@@ -102,20 +104,20 @@ def main():
     n = cfg.train.train_width * cfg.train.train_height
 
     @jax.jit
-    def pool_vertex(key):
-        ro, rd = targets.train_ray_pool(scene, cfg, key)
-        res = pathtrace.trace_path_collision(scene, cfg, ro, rd, key,
+    def pool_vertex(sc, key):
+        ro, rd = targets.train_ray_pool(sc, cfg, key)
+        res = pathtrace.trace_path_collision(sc, tcfg, ro, rd, key,
                                              use_nn=True, env_samples=0)
         return res.query_pos[:n], res.query_dir[:n]
 
-    pos, d = timeit("pool+vertex", pool_vertex, key)
+    pos, d = timeit("pool+vertex", pool_vertex, scene, key)
 
     @jax.jit
-    def nee(pos, d, key):
-        return pathtrace.trace_scene(scene, cfg, pos, d, key,
+    def nee(sc, pos, d, key):
+        return pathtrace.trace_scene(sc, cfg, pos, d, key,
                                      cfg.train.env_samples)
 
-    timeit("nee", nee, pos, d, key)
+    timeit("nee", nee, scene, pos, d, key)
 
     s_count = cfg.train.target_samples
     pos_t = jnp.tile(pos, (s_count, 1))
@@ -123,26 +125,26 @@ def main():
                                         cfg.volume.hg_g)
 
     @jax.jit
-    def target_march(pos_t, d_t, key):
+    def target_march(sc, pos_t, d_t, key):
         _, ev = pathtrace.trace_path_collision(
-            scene, cfg, pos_t, d_t, key, use_nn=False,
+            sc, tcfg, pos_t, d_t, key, use_nn=False,
             env_samples=cfg.train.env_samples,
             max_bounces=cfg.train.target_bounces, collect_events=True)
         return ev[..., 6].sum()
 
-    timeit("target_march", target_march, pos_t, d_t, key)
+    timeit("target_march", target_march, scene, pos_t, d_t, key)
 
     @jax.jit
-    def target_full(pos_t, d_t, key):
+    def target_full(sc, pos_t, d_t, key):
         res = pathtrace.trace_path_collision(
-            scene, cfg, pos_t, d_t, key, use_nn=False,
+            sc, tcfg, pos_t, d_t, key, use_nn=False,
             env_samples=cfg.train.env_samples,
             max_bounces=cfg.train.target_bounces)
         return res.scattered
 
-    sc = timeit("target_full", target_full, pos_t, d_t, key)
+    out_sc = timeit("target_full", target_full, scene, pos_t, d_t, key)
 
-    target = jnp.minimum(jnp.mean(sc.reshape(s_count, n, 3), axis=0),
+    target = jnp.minimum(jnp.mean(out_sc.reshape(s_count, n, 3), axis=0),
                          cfg.train.target_clamp)
 
     @jax.jit
@@ -151,7 +153,6 @@ def main():
 
     timeit("grads+step", grads_step, state, pos, d, target)
 
-    @jax.jit
     def total(state, key):
         return frame_mod.train_only_step(state, scene, key, cfg)
 
