@@ -378,6 +378,35 @@ def main():
             result["online_train_every"] = every
     _t('online frame timing done')
 
+    # spp=2 headline row (VERDICT r3 item 5): the SAME pipeline with two
+    # virtual copies per ray (render_banded expands rays in-program; the
+    # hoisted pose-static pack/env/bake all apply unchanged -- tiled.py
+    # tiles them across copies). One extra compile, cached across runs.
+    # Its bias leg lives in quality_metrics (relative_rmse_noise_sub_spp2).
+    if (spp == 1 and band and not host_tiled
+            and os.environ.get("BENCH_SPP2", "1") != "0"):
+        cfg2 = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, spp=2))
+
+        def run2(key, sync=True):
+            img = render_banded(state, scene, key, cfg2, band_rows=band,
+                                env_rgb=env_rgb, baked=baked,
+                                pack=live_pack)
+            if sync:
+                np.asarray(img.sum())
+            return img
+
+        run2(jax.random.PRNGKey(0))
+        _t('spp2 warmup/compile done')
+        frames2 = max(4, frames // 2)
+        t0 = time.perf_counter()
+        for i in range(frames2):
+            run2(jax.random.PRNGKey(1 + i), sync=(i == frames2 - 1))
+        dt2 = time.perf_counter() - t0
+        result["mrays_s_spp2"] = round(
+            width * height * 2 * frames2 / dt2 / 1e6, 4)
+        _t('spp2 timed loop done')
+
     if os.environ.get("BENCH_QUALITY", "1") != "0":
         result.update(quality_metrics(cfg, scene, state))
 

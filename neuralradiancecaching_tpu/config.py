@@ -156,6 +156,14 @@ class MRHEConfig:
     # (730 vs 646 ms, scripts/profile_bf16.py) -- the per-frame bake and
     # bigger tables lose more than the query saves. Default stays 64.
     dense_max_res: int = 64
+    # TRAIN-path encode: 'oct' gathers ONE corner-packed row per level
+    # (2^D rolls rebuild the rows per step, ~1 ms) and backprops through an
+    # oct-layout scatter-add with 2^D x fewer rows (ops/mrhe.py
+    # encode_oct_train; fwd bit-pattern equals the hash path, grads equal
+    # up to fp add order). 'hash' keeps the 8-gathers-per-level path
+    # (automatic fallback when table_size is not a power of two).
+    # MEASURED at the 10k train batch: grads+step 38.3 -> see r4 ledger.
+    train_encode: str = "oct"
     # which baked inference representation nrc.bake builds (ops/mrhe.py):
     #   'oct'   -- corner-packed hash rows, ONE row gather per level for
     #              every level (bit-exact; needs power-of-two table_size;
@@ -481,12 +489,17 @@ class PathTraceConfig:
     # of dragging them through all target_bounces slots. 0 disables.
     coll_weight_rr: float = 0.05
     # no-NN split analogue of coll_phase1_steps/coll_live_fraction (only
-    # active when coll_weight_rr > 0, which is what retires lanes).
-    # MEASURED A/B at reference train settings (scripts/profile_train2.py):
-    # the writeback scatters make the split NET NEGATIVE (197.6 vs 187.5 ms
-    # without) -- default OFF, selectable for much deeper walks.
+    # active when coll_weight_rr > 0, which is what retires lanes). The r2
+    # A/B measured the split net-negative (197.6 vs 187.5 ms,
+    # profile_train2.py) because phase-2 events were scattered BACK to full
+    # width slot-by-slot; with prefix-packed shading they now shade at the
+    # packed m1 lanes and return through ONE (m1, 3) scatter-add
+    # (pathtrace.py two_phase), which flips the sign: the 8x64 target walk
+    # is ~0.5% live at slot 8 (profile_train_decomp.py), so 56 of 64 slots
+    # shrink 16x. 1/16 is ~12x above the measured survivor fraction;
+    # overflow drops the highest lanes deterministically (compact_select).
     coll_nonn_phase1_steps: int = 8
-    coll_nonn_live_fraction: float = 0.0
+    coll_nonn_live_fraction: float = 0.0625
     # the DELTA no-NN walk's own split (binary escape retires lanes
     # naturally -- no weight-RR needed): measured on the real cloud, the
     # 64-slot target walk averages 3.2 events/ray with 1.4% of lanes

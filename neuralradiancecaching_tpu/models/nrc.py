@@ -80,8 +80,16 @@ def encode(hash_table: jnp.ndarray, pos: jnp.ndarray, direction: jnp.ndarray,
     """EncodeRay (nrc-train.comp:703-713): [32 MRHE | 32 one-blob]."""
     pos_norm = mrhe_ops.normalize_pos(pos, cfg.volume.box_size,
                                       cfg.volume.box_center)
-    mrhe_feats = mrhe_ops.encode(hash_table, pos_norm, cfg.mrhe, cfg.quirks,
-                                 pos_raw=pos)
+    if (cfg.mrhe.train_encode == "oct"
+            and mrhe_ops.oct_supported(cfg.mrhe)):
+        # one corner-packed row gather per level + oct-layout backward
+        # (8x fewer gather/scatter ops; MRHEConfig.train_encode)
+        mrhe_feats = mrhe_ops.encode_oct_train(hash_table, pos_norm,
+                                               cfg.mrhe, cfg.quirks,
+                                               pos_raw=pos)
+    else:
+        mrhe_feats = mrhe_ops.encode(hash_table, pos_norm, cfg.mrhe,
+                                     cfg.quirks, pos_raw=pos)
     blob_feats = oneblob_ops.encode_dir(direction, cfg.oneblob, cfg.quirks)
     return jnp.concatenate([mrhe_feats, blob_feats], axis=-1)
 

@@ -400,6 +400,91 @@ def encode_with_oct(oct_rows: jnp.ndarray, pos_norm: jnp.ndarray,
                          cfg.n_levels * cfg.n_features)
 
 
+# ---------------------------------------------------------------------------
+# Oct-packed TRAIN encode (r4)
+#
+# The training forward/backward previously ran the pure hash path: 8 gather
+# ops per level forward (128 ops at L=16 -- measured 17.5 ms at the 10k
+# train batch; TPU gathers are op-count bound) and one 8x-row scatter-add
+# backward (~18 ms). The same corner-linearity that powers the inference
+# bake_oct applies to BOTH directions:
+#   fwd: bake the (L*T, 2^D F) corner-packed rows (2^D rolls of a 2 MB
+#        table, ~1 ms) and gather ONE row per level;
+#   bwd: scatter-add (batch, L) rows of 2^D F corner contributions into the
+#        OCT layout (2^D x fewer scatter rows), then fold back with the
+#        INVERSE rolls: d_table[l, t] = sum_c roll(d_oct[..c..], +off_c).
+# Gradients equal the hash path's exactly up to fp add order (the flat
+# corner index (h_base + off_c) mod T IS _encode_prep's hash_coords value
+# for power-of-two T -- the bake_oct identity). Requires oct_supported.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def encode_oct_train(table: jnp.ndarray, pos_norm: jnp.ndarray,
+                     cfg: MRHEConfig, quirks: QuirkFlags,
+                     pos_raw: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Trainable encode via corner-packed rows (see block comment)."""
+    out, _ = _encode_oct_fwd(table, pos_norm, cfg, quirks, pos_raw)
+    return out
+
+
+def _oct_geom(pos_norm, cfg, quirks, pos_raw):
+    """(flat base-row idx (..., L), weights (..., L, 2^D))."""
+    res = jnp.asarray(resolutions(cfg), dtype=pos_norm.dtype)
+    x = pos_norm[..., None, :] * res[:, None]
+    x0 = jnp.floor(x)
+    if quirks.world_space_lerp:
+        assert pos_raw is not None
+        frac = pos_raw[..., None, :] - x0
+    else:
+        frac = x - x0
+    h = hash_coords(x0.astype(jnp.int32), cfg.table_size)  # (..., L)
+    level_base = jnp.arange(cfg.n_levels, dtype=jnp.int32) * cfg.table_size
+    offsets = jnp.asarray(_corner_offsets(cfg.n_dims))  # (C, D)
+    w = jnp.where(offsets.astype(bool), frac[..., None, :],
+                  1.0 - frac[..., None, :])
+    weights = jnp.prod(w, axis=-1)  # (..., L, C)
+    return h + level_base, weights
+
+
+def _encode_oct_fwd(table, pos_norm, cfg, quirks, pos_raw):
+    flat, weights = _oct_geom(pos_norm, cfg, quirks, pos_raw)
+    packed = bake_oct(table, cfg)                    # (L*T, C*F)
+    rows = jnp.take(packed, flat, axis=0)            # (..., L, C*F)
+    c = 1 << cfg.n_dims
+    rows = rows.reshape(*rows.shape[:-1], c, cfg.n_features)
+    feats = jnp.sum(rows * weights[..., None], axis=-2)  # (..., L, F)
+    out = feats.reshape(*pos_norm.shape[:-1],
+                        cfg.n_levels * cfg.n_features)
+    return out, (flat, weights, pos_norm.shape)
+
+
+def _encode_oct_bwd(cfg, quirks, residuals, g):
+    flat, weights, pos_shape = residuals
+    c = 1 << cfg.n_dims
+    err = g.reshape(*pos_shape[:-1], cfg.n_levels, cfg.n_features)
+    if quirks.duplicated_feature_grad:
+        # reference bug (nrc-train.comp:960): feature 0's error drives
+        # every feature's table gradient
+        err = jnp.broadcast_to(err[..., :1], err.shape)
+    contrib = weights[..., None] * err[..., None, :]  # (..., L, C, F)
+    d_oct = jnp.zeros((cfg.n_levels * cfg.table_size, c * cfg.n_features),
+                      dtype=contrib.dtype)
+    d_oct = d_oct.at[flat.reshape(-1)].add(
+        contrib.reshape(-1, c * cfg.n_features))
+    d_oct = d_oct.reshape(cfg.n_levels, cfg.table_size, c, cfg.n_features)
+    # inverse rolls of bake_oct: packed[l, h, c] = table[l, (h+off_c) % T]
+    # => d_table[l, t] = sum_c d_oct[l, (t - off_c) % T, c]
+    d_table = jnp.zeros((cfg.n_levels, cfg.table_size, cfg.n_features),
+                        dtype=contrib.dtype)
+    for ci, off in enumerate(corner_hash_offsets(cfg)):
+        d_table = d_table + jnp.roll(d_oct[:, :, ci, :], int(off), axis=1)
+    return d_table, None, None
+
+
+encode_oct_train.defvjp(_encode_oct_fwd, _encode_oct_bwd)
+
+
 def normalize_pos(pos: jnp.ndarray, box_size, box_center) -> jnp.ndarray:
     """World position -> [0,1]^3 (EncodePosMrhe normPos, nrc-train.comp:268)."""
     size = jnp.asarray(box_size, dtype=pos.dtype)

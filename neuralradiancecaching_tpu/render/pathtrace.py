@@ -446,6 +446,13 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         live_frac = (cfg.path.coll_nonn_live_fraction
                      if cfg.path.coll_weight_rr > 0.0 else 0.0)
     split = 0 < p1 < k_steps and live_frac > 0.0
+    # two-phase SHADE: with prefix-packed shading the phase-2 events never
+    # need full width -- shade them at the packed m1 lanes and scatter ONE
+    # (m1, 3) result back, instead of writing (k2, n, 7) slot rows back
+    # through k2 scatters (the overhead that made the split measure
+    # net-negative in the r2 A/B, PathTraceConfig.coll_nonn_* comment)
+    two_phase = (split and not collect_events
+                 and cfg.path.coll_shade_cap > 0.0)
     u_dim = 4 + 2 * n_null if delta else 4
     if not split:
         u_march = jax.random.uniform(jax.random.fold_in(key, 0),
@@ -464,10 +471,14 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         s2, ys2 = jax.lax.scan(step, sub, u2)
         s_fin = S(*[compact.scatter_update(a, sel, sel_valid, b)
                     for a, b in zip(s1, s2)])
-        back = lambda v, f: jax.vmap(
-            lambda row: compact.scatter_back(n, sel, sel_valid, row, f))(v)
-        ys = tuple(jnp.concatenate([a, back(b, 0.0)], axis=0)
-                   for a, b in zip(ys1, ys2))
+        if two_phase:
+            ys = ys1  # phase-2 events shaded at packed width below
+        else:
+            back = lambda v, f: jax.vmap(
+                lambda row: compact.scatter_back(n, sel, sel_valid, row,
+                                                 f))(v)
+            ys = tuple(jnp.concatenate([a, back(b, 0.0)], axis=0)
+                       for a, b in zip(ys1, ys2))
     (ev_pos, ev_dir, ev_w) = ys  # step-major (K, N, ...); ev_w is 0 for
     # invalid slots -- slot k IS event k (every live step scatters)
 
@@ -476,30 +487,44 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     k_scene = jax.random.fold_in(key, k_steps + 1)
 
-    if collect_events:
-        scattered = jnp.zeros((n, 3), dtype=dtype)
-    elif cfg.path.coll_shade_cap > 0.0:
-        # prefix-packed shading (collision validity is a per-ray prefix:
-        # a done lane never revives): pack the valid events ray-major and
-        # shade once; the reduction back is a segmented scan. At
-        # target-walk scale (64 slots x 8 samples x 10k rays) the dense
-        # per-slot shade is the train step's dominant cost. Overflow drops
-        # the highest ray indices, deterministically.
-        nk = k_steps * n
-        cap = min(nk, max(1024, int(n * cfg.path.coll_shade_cap)))
-        w_rm = jnp.swapaxes(ev_w, 0, 1)  # (N, K); 0 marks invalid slots
+    def prefix_shade(e_pos, e_dir, e_w, lanes, k, shade_key):
+        """Prefix-packed shade of step-major (k, lanes, .) events ->
+        (lanes, 3) per-lane sums (collision validity is a per-lane prefix:
+        a done lane never revives). The cap is a PER-LANE budget
+        (coll_shade_cap events/lane on average); overflow drops the
+        highest lane indices, deterministically."""
+        nk = k * lanes
+        cap = min(nk, max(1024, int(lanes * cfg.path.coll_shade_cap)))
+        w_rm = jnp.swapaxes(e_w, 0, 1)  # (lanes, k); 0 marks invalid
         packed = jnp.swapaxes(
-            jnp.concatenate([ev_pos, ev_dir], axis=-1), 0, 1
-        ).reshape(nk, 6)                                    # ray-major
+            jnp.concatenate([e_pos, e_dir], axis=-1), 0, 1
+        ).reshape(nk, 6)                                    # lane-major
         counts = jnp.sum((w_rm > 0.0).astype(jnp.int32), axis=1)
         row, slot, val_e = compact.compact_prefix(counts, cap)
-        idx = row * k_steps + jnp.minimum(slot, k_steps - 1)
+        idx = row * k + jnp.minimum(slot, k - 1)
         rows = jnp.take(packed, idx, axis=0)
         w_rows = jnp.take(w_rm.reshape(nk), idx)
         light = trace_scene(scene, cfg, rows[:, 0:3], rows[:, 3:6],
-                            k_scene, env_samples)
+                            shade_key, env_samples)
         contrib = jnp.where(val_e[:, None], w_rows[:, None] * light, 0.0)
-        scattered = compact.prefix_segment_sum(contrib, counts, slot)
+        return compact.prefix_segment_sum(contrib, counts, slot)
+
+    if collect_events:
+        scattered = jnp.zeros((n, 3), dtype=dtype)
+    elif cfg.path.coll_shade_cap > 0.0:
+        # at target-walk scale (64 slots x 8 samples x 10k rays) the dense
+        # per-slot shade is the train step's dominant cost; prefix-pack
+        if two_phase:
+            # phase-2 events shade at the PACKED m1 lanes; one (m1, 3)
+            # scatter-add puts their sums back (sel rows are unique)
+            sc1 = prefix_shade(*ys1, n, p1, k_scene)
+            sc2 = prefix_shade(*ys2, m1, k_steps - p1,
+                               jax.random.fold_in(k_scene, 1))
+            sc2 = jnp.where(sel_valid[:, None], sc2, 0.0)
+            scattered = sc1.at[sel].add(sc2, mode="drop")
+        else:
+            scattered = prefix_shade(ev_pos, ev_dir, ev_w, n, k_steps,
+                                     k_scene)
     else:
         def shade_slot(args):
             slot_idx, e_pos, e_dir = args

@@ -305,3 +305,33 @@ def test_query_baked_oct_matches_query():
     a = np.asarray(nrc.query(state, pos, d, cfg))
     b = np.asarray(nrc.query_baked(state, baked, pos, d, cfg))
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_encode_oct_train_matches_hash_path():
+    """encode_oct_train (one corner-packed row gather/level, oct-layout
+    backward): forward bit-exact vs encode; gradients equal up to fp add
+    order -- including the duplicated_feature_grad quirk and out-of-box
+    positions."""
+    from neuralradiancecaching_tpu.ops.mrhe import encode_oct_train
+
+    cfg = MRHEConfig(n_levels=4, table_size=512, min_res=4, max_res=32)
+    table = mrhe.init_table(jax.random.PRNGKey(0), cfg)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (257, 3),
+                             minval=-0.2, maxval=1.2)
+
+    f_hash = mrhe.encode(table, pos, cfg, FIXED)
+    f_oct = encode_oct_train(table, pos, cfg, FIXED)
+    np.testing.assert_array_equal(np.asarray(f_hash), np.asarray(f_oct))
+
+    for quirks in (FIXED, QuirkFlags(duplicated_feature_grad=True)):
+        def loss_h(t):
+            return jnp.sum(jnp.sin(mrhe.encode(t, pos, cfg, quirks)) * 1.7)
+
+        def loss_o(t):
+            return jnp.sum(jnp.sin(encode_oct_train(t, pos, cfg, quirks))
+                           * 1.7)
+
+        gh = np.asarray(jax.grad(loss_h)(table))
+        go = np.asarray(jax.grad(loss_o)(table))
+        scale = max(np.abs(gh).max(), 1e-12)
+        np.testing.assert_allclose(go, gh, atol=2e-5 * scale)
