@@ -487,6 +487,22 @@ def quality_metrics(cfg, scene, state):
     bias_rel, floor_rel = noise_subtracted_bias(img_nn, img_nn2,
                                                 img_ref, img_ref2)
 
+    # spp=2 bias leg (VERDICT r3 item 5): the spp=2 throughput row's own
+    # quality number. The per-sample estimator is identical -- spp only
+    # averages iid samples, so the bias is mathematically the same -- but
+    # the measured leg makes that claim falsifiable: NN twins rendered at
+    # render.spp=2 (half the accumulation count = same total samples)
+    # against the SAME reference twins. BENCH_QUALITY_SPP2=0 skips.
+    spp2 = {}
+    if os.environ.get("BENCH_QUALITY_SPP2", "1") != "0" and spp_nn >= 2:
+        q2 = dataclasses.replace(
+            qcfg, render=dataclasses.replace(qcfg.render, spp=2))
+        s1 = accum(q2, spp_nn // 2, 2000)
+        s2 = accum(q2, spp_nn // 2, 6000)
+        b2, _ = noise_subtracted_bias(s1, s2, img_ref, img_ref2)
+        spp2 = {"relative_rmse_noise_sub_spp2": round(b2, 5)}
+        _t('quality: spp2 NN twin accumulations done')
+
     # GROUND-TRUTH leg (VERDICT r3 item 1): the shipped no-NN render vs
     # the FULLY UNBIASED oracle -- delta sampler + ratio-tracked
     # transmittance + MC in-scatter (the repo's own ground truth; the
@@ -548,6 +564,7 @@ def quality_metrics(cfg, scene, state):
         "cap_bias_rmse": round(float(relative_rmse(a, b)), 6),
         "cap_bias_mean_delta": round(float(a.mean() - b.mean())
                                      / max(float(b.mean()), 1e-9), 6),
+        **spp2,
         **gt,
     }
     if qcfg.path.sampler in ("collision", "delta"):
