@@ -227,6 +227,11 @@ def main():
     # the remote compile helper's program-size limit.
     qchunk = int(os.environ.get("BENCH_QUERY_CHUNK",
                                 cfg.render.query_chunk))
+    # BENCH_QUERY_SPLIT_MLP=0 restores the MLP-inside-the-chunk A/B leg
+    # (RenderConfig.query_split_mlp)
+    if os.environ.get("BENCH_QUERY_SPLIT_MLP") == "0":
+        cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+            cfg.render, query_split_mlp=False))
     cfg = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render,
                                         query_cap_fraction=cap,

@@ -646,6 +646,13 @@ class RenderConfig:
     # encodes crash it; 32k is safe everywhere, larger values are probed
     # on the real TPU by bench.py).
     query_chunk: int = 32768
+    # hoist the query MLP out of the lax.map chunks: only the ENCODE's
+    # gathers need chunking for the compile helper; the MLP is a plain
+    # matmul, and at 32k rows it uses ~1% of the MXU. With the split
+    # (nrc.make_baked_query_fn carrying encode_fn/mlp_fn), chunks emit
+    # (chunk, 64) feature rows and ONE frame-wide matmul finishes them --
+    # numerically identical (matmuls are row-independent).
+    query_split_mlp: bool = True
 
 
 @dataclass(frozen=True)

@@ -129,11 +129,13 @@ def bake(state: NRCState, cfg: NRCConfig) -> jnp.ndarray:
     return baked
 
 
-def query_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,
-                direction: jnp.ndarray, cfg: NRCConfig) -> jnp.ndarray:
-    """Cache inference via the baked MRHE rows: 16 gathered rows per query
-    ('oct') vs 128 for the pure hash path; numerically identical (exactly
-    for 'oct'; for in-box positions with 'dense')."""
+def encode_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,
+                 direction: jnp.ndarray, cfg: NRCConfig) -> jnp.ndarray:
+    """The gather half of query_baked: [32 MRHE via baked rows | 32 blob]
+    feature rows (bf16 when MLPConfig.inference_dtype is bf16 and the
+    'oct' bake ships). Split out so chunked query paths can run the
+    gathers per chunk and the MLP ONCE over the whole frame
+    (pathtrace.shade_and_query; a 32k-chunk MLP uses ~1% of the MXU)."""
     pos_norm = mrhe_ops.normalize_pos(pos, cfg.volume.box_size,
                                       cfg.volume.box_center)
     mode = cfg.mrhe.inference_bake
@@ -154,13 +156,40 @@ def query_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,
                                      cfg.quirks, pos_raw=pos)
     blob_feats = oneblob_ops.encode_dir(direction, cfg.oneblob, cfg.quirks)
     if bf16:
-        x = jnp.concatenate([mrhe_feats,
-                             blob_feats.astype(jnp.bfloat16)], axis=-1)
+        blob_feats = blob_feats.astype(jnp.bfloat16)
+    return jnp.concatenate([mrhe_feats, blob_feats], axis=-1)
+
+
+def query_mlp(state: NRCState, x: jnp.ndarray, cfg: NRCConfig) -> jnp.ndarray:
+    """The matmul half of query_baked: encode_baked rows -> (N, 3) f32."""
+    if x.dtype == jnp.bfloat16:
         params = jax.tree_util.tree_map(
             lambda w: w.astype(jnp.bfloat16), state.mlp_params)
         return _inference_mlp(params, x, cfg).astype(jnp.float32)
-    x = jnp.concatenate([mrhe_feats, blob_feats], axis=-1)
     return _inference_mlp(state.mlp_params, x, cfg)
+
+
+def query_baked(state: NRCState, baked: jnp.ndarray, pos: jnp.ndarray,
+                direction: jnp.ndarray, cfg: NRCConfig) -> jnp.ndarray:
+    """Cache inference via the baked MRHE rows: 16 gathered rows per query
+    ('oct') vs 128 for the pure hash path; numerically identical (exactly
+    for 'oct'; for in-box positions with 'dense')."""
+    return query_mlp(state, encode_baked(state, baked, pos, direction, cfg),
+                     cfg)
+
+
+def make_baked_query_fn(state: NRCState, baked: jnp.ndarray, cfg: NRCConfig):
+    """query_fn closure for the render finish paths, carrying the
+    encode/MLP split as attributes (shade_and_query hoists the MLP out of
+    its lax.map chunks when these are present -- one big matmul instead of
+    one 32k-row matmul per chunk)."""
+    def query_fn(qpos, qdir):
+        return query_baked(state, baked, qpos, qdir, cfg)
+
+    query_fn.encode_fn = lambda qpos, qdir: encode_baked(state, baked, qpos,
+                                                         qdir, cfg)
+    query_fn.mlp_fn = lambda x: query_mlp(state, x, cfg)
+    return query_fn
 
 
 def compute_grads(state: NRCState, pos: jnp.ndarray, direction: jnp.ndarray,

@@ -56,8 +56,7 @@ def _local_render(state: nrc.NRCState, scene: Scene, key: jax.Array,
     # dense-bake once per device (replicated state -> identical bake)
     baked = nrc.bake(state, cfg)
 
-    def query_fn(qpos, qdir):
-        return nrc.query_baked(state, baked, qpos, qdir, cfg)
+    query_fn = nrc.make_baked_query_fn(state, baked, cfg)
 
     rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, _device_key(key),
                                     query_fn=query_fn)
@@ -191,8 +190,7 @@ def dp_render_banded_packed(state: nrc.NRCState, scene: Scene,
         if ev.shape[1] > 0:
             ev = jnp.where(val_l[:, None, None], ev, jnp.zeros((), ev.dtype))
 
-        def query_fn(qpos, qdir):
-            return nrc.query_baked(s, bk, qpos, qdir, cfg)
+        query_fn = nrc.make_baked_query_fn(s, bk, cfg)
 
         rgb = pathtrace.shade_and_query(sc, cfg, rgb, qp, qd, qw, query_fn,
                                         events=ev, cap_n=n // n_dev)
@@ -313,8 +311,7 @@ def dp_render_banded(state: nrc.NRCState, scene: Scene, key: jax.Array,
             rgb, trans, qp, qd, qw, ev = jax.lax.map(band,
                                                      (ids_l[0], ro_b, rd_b))
 
-        def query_fn(qpos, qdir):
-            return nrc.query_baked(s, bk, qpos, qdir, cfg)
+        query_fn = nrc.make_baked_query_fn(s, bk, cfg)
 
         out = pathtrace.finish_deferred(
             sc, cfg, ro_l, rd_l, rgb.reshape(-1, 3), trans.reshape(-1),

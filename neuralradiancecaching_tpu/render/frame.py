@@ -48,8 +48,7 @@ def frame_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
     ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
     baked = nrc.bake(state, cfg)
 
-    def query_fn(qpos, qdir):
-        return nrc.query_baked(state, baked, qpos, qdir, cfg)
+    query_fn = nrc.make_baked_query_fn(state, baked, cfg)
 
     rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, k_render,
                                     query_fn=query_fn)
@@ -72,8 +71,7 @@ def render_only_step(state: nrc.NRCState, scene: Scene, key: jax.Array,
     ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
     baked = nrc.bake(state, cfg)
 
-    def query_fn(qpos, qdir):
-        return nrc.query_baked(state, baked, qpos, qdir, cfg)
+    query_fn = nrc.make_baked_query_fn(state, baked, cfg)
 
     rgb, _ = pathtrace.render_image(scene, cfg, ro, rd, key,
                                     query_fn=query_fn)

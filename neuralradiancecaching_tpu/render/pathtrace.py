@@ -928,6 +928,26 @@ def shade_and_query(scene: Scene, cfg: NRCConfig, rgb: jnp.ndarray,
     # compacted queries are evaluated in fixed-size lax.map chunks; the
     # chunk size is the gather-op-count lever (RenderConfig.query_chunk)
     chunk = cfg.render.query_chunk
+    # MLP hoist (RenderConfig.query_split_mlp): only the GATHER half of
+    # the query (encode_fn) needs chunking for the compile helper; the
+    # MLP is one plain matmul, so running it per 32k chunk leaves the MXU
+    # ~99% idle. When the query_fn carries the encode/MLP split
+    # (nrc.make_baked_query_fn), map the encode over chunks and run the
+    # MLP ONCE over all feature rows.
+    enc_fn = getattr(query_fn, "encode_fn", None)
+    mlp_fn = getattr(query_fn, "mlp_fn", None)
+    split_mlp = (cfg.render.query_split_mlp and enc_fn is not None
+                 and mlp_fn is not None)
+
+    def chunked_query(p, d, m):
+        """(m, 3),(m, 3) -> (m, 3), m a multiple of chunk."""
+        ab = (p.reshape(-1, chunk, 3), d.reshape(-1, chunk, 3))
+        if split_mlp:
+            feats = jax.lax.map(lambda pd: enc_fn(pd[0], pd[1]), ab)
+            return mlp_fn(feats.reshape(m, feats.shape[-1]))
+        return jax.lax.map(
+            lambda pd: query_fn(pd[0], pd[1]), ab).reshape(m, 3)
+
     if frac < 1.0:
         capq = min(n, max(1024, int(base * frac)))
         if capq > chunk:  # round up to whole chunks; capq may exceed n
@@ -939,10 +959,7 @@ def shade_and_query(scene: Scene, cfg: NRCConfig, rgb: jnp.ndarray,
         qsel_p = jnp.take(q_pos, sel, axis=0)
         qsel_d = jnp.take(q_dir, sel, axis=0)
         if capq > chunk and capq % chunk == 0:
-            cache_sel = jax.lax.map(
-                lambda ab: query_fn(ab[0], ab[1]),
-                (qsel_p.reshape(-1, chunk, 3),
-                 qsel_d.reshape(-1, chunk, 3))).reshape(capq, 3)
+            cache_sel = chunked_query(qsel_p, qsel_d, capq)
         else:
             cache_sel = query_fn(qsel_p, qsel_d)
         cache_sel = jnp.where(sel_valid[:, None], cache_sel, 0.0)
@@ -958,10 +975,7 @@ def shade_and_query(scene: Scene, cfg: NRCConfig, rgb: jnp.ndarray,
         pad = -n % chunk
         qp_p = jnp.concatenate([q_pos, jnp.zeros((pad, 3), q_pos.dtype)])
         qd_p = jnp.concatenate([q_dir, jnp.zeros((pad, 3), q_dir.dtype)])
-        cache = jax.lax.map(
-            lambda ab: query_fn(ab[0], ab[1]),
-            (qp_p.reshape(-1, chunk, 3),
-             qd_p.reshape(-1, chunk, 3))).reshape(n + pad, 3)[:n]
+        cache = chunked_query(qp_p, qd_p, n + pad)[:n]
         cache = jnp.where(has_q[:, None], cache, 0.0)
     else:
         cache = jnp.where(has_q[:, None], query_fn(q_pos, q_dir), 0.0)
@@ -1033,10 +1047,22 @@ def render_image(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
                 qsel_p = jnp.take(res.query_pos, sel, axis=0)
                 qsel_d = jnp.take(res.query_dir, sel, axis=0)
                 if capq > chunk and capq % chunk == 0:
-                    cache_sel = jax.lax.map(
-                        lambda ab: query_fn(ab[0], ab[1]),
-                        (qsel_p.reshape(-1, chunk, 3),
-                         qsel_d.reshape(-1, chunk, 3))).reshape(capq, 3)
+                    # MLP hoist (see shade_and_query): chunk the gathers,
+                    # run the matmuls once over all rows
+                    enc_fn = getattr(query_fn, "encode_fn", None)
+                    mlp_fn = getattr(query_fn, "mlp_fn", None)
+                    ab = (qsel_p.reshape(-1, chunk, 3),
+                          qsel_d.reshape(-1, chunk, 3))
+                    if (cfg.render.query_split_mlp and enc_fn is not None
+                            and mlp_fn is not None):
+                        feats = jax.lax.map(
+                            lambda pd: enc_fn(pd[0], pd[1]), ab)
+                        cache_sel = mlp_fn(
+                            feats.reshape(capq, feats.shape[-1]))
+                    else:
+                        cache_sel = jax.lax.map(
+                            lambda pd: query_fn(pd[0], pd[1]),
+                            ab).reshape(capq, 3)
                 else:
                     cache_sel = query_fn(qsel_p, qsel_d)
                 cache_sel = jnp.where(sel_valid[:, None], cache_sel, 0.0)

@@ -55,8 +55,7 @@ def _band_plain(scene: Scene, key: jax.Array, ro: jnp.ndarray,
 def _finish(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
             rgb, trans, q_pos, q_dir, q_w, ev, cfg: NRCConfig,
             env_rgb=None):
-    def query_fn(qpos, qdir):
-        return nrc.query_baked(state, baked, qpos, qdir, cfg)
+    query_fn = nrc.make_baked_query_fn(state, baked, cfg)
 
     # rays recomputed in-program (camera math is trivial; passing 2M-row
     # rays eagerly would cost host dispatches per frame)
@@ -332,8 +331,7 @@ def _finish_packed(state: nrc.NRCState, baked: jnp.ndarray, scene: Scene,
     from neuralradiancecaching_tpu.ops import compact
     from neuralradiancecaching_tpu.ops import envmap as envmap_ops
 
-    def query_fn(qpos, qdir):
-        return nrc.query_baked(state, baked, qpos, qdir, cfg)
+    query_fn = nrc.make_baked_query_fn(state, baked, cfg)
 
     n = cfg.render.width * cfg.render.height
     spp = cfg.render.spp

@@ -288,3 +288,33 @@ def test_bf16_query_matches_f32_within_tolerance():
     np.testing.assert_allclose(b, a, rtol=0.03, atol=0.03)
     # sanity: not bit-identical (the bf16 path really ran)
     assert (a != b).any()
+
+
+def test_query_split_mlp_matches_unsplit():
+    """MLP hoist parity (RenderConfig.query_split_mlp): the chunked query
+    with per-chunk encode + ONE frame-wide MLP returns the same image as
+    the per-chunk full query -- both shade_and_query branches (capped
+    compaction and uncapped full-width) exercised via a tiny query_chunk
+    so multiple chunks run."""
+    from neuralradiancecaching_tpu.render.tiled import render_banded
+    base = tiny_config(use_nn=True)
+    base = dataclasses.replace(
+        base,
+        render=dataclasses.replace(base.render, width=16, height=16,
+                                   query_chunk=32),
+        path=dataclasses.replace(base.path, sampler="collision",
+                                 collision_field_steps=8),
+        env_map=dataclasses.replace(base.env_map, in_scatter_mode="field"),
+        volume=dataclasses.replace(base.volume, field_shape=(4, 4, 4)))
+    scene = tiny_scene(base)
+    state = nrc.init_state(jax.random.PRNGKey(0), base)
+    k = jax.random.PRNGKey(5)
+    for cap in (1.0, 0.5):  # uncapped chunked / capped compaction
+        c_on = dataclasses.replace(base, render=dataclasses.replace(
+            base.render, query_cap_fraction=cap, query_split_mlp=True))
+        c_off = dataclasses.replace(base, render=dataclasses.replace(
+            base.render, query_cap_fraction=cap, query_split_mlp=False))
+        a = np.asarray(render_banded(state, scene, k, c_on, band_rows=8))
+        b = np.asarray(render_banded(state, scene, k, c_off, band_rows=8))
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
