@@ -494,11 +494,15 @@ class PathTraceConfig:
     # profile_train2.py) because phase-2 events were scattered BACK to full
     # width slot-by-slot; with prefix-packed shading they now shade at the
     # packed m1 lanes and return through ONE (m1, 3) scatter-add
-    # (pathtrace.py two_phase), which flips the sign: the 8x64 target walk
-    # is ~0.5% live at slot 8 (profile_train_decomp.py), so 56 of 64 slots
-    # shrink 16x. 1/16 is ~12x above the measured survivor fraction;
-    # overflow drops the highest lanes deterministically (compact_select).
-    coll_nonn_phase1_steps: int = 8
+    # (pathtrace.py two_phase), which flips the sign: with phase-2 cheap,
+    # PHASE-1 length dominates (k1 x 80k lane-steps). Measured live decay
+    # of the 8x64 target walk (slot 3: 8.1%, slot 4: 5.07+-0.05% across
+    # keys, slot 8: 0.52%): slot 4 fits the 1/16 cap with 1.23x margin, so
+    # p1=4 is drop-free; p1=3 would drop. Sweep (profile_train_split_
+    # sweep.py): p1=4 34.5 ms vs p1=8 43.6; converged cache_rel_err_binned
+    # identical (0.0233 vs 0.0229 @400 steps). Overflow beyond the cap
+    # drops the highest lanes deterministically (compact_select).
+    coll_nonn_phase1_steps: int = 4
     coll_nonn_live_fraction: float = 0.0625
     # the DELTA no-NN walk's own split (binary escape retires lanes
     # naturally -- no weight-RR needed): measured on the real cloud, the
