@@ -734,3 +734,91 @@ def test_uncapped_query_chunked_matches_single_call():
     assert cfg_chunked.render.query_chunk < n
     b = np.asarray(render_banded(state, scene, k, cfg_chunked, band_rows=4))
     np.testing.assert_array_equal(a, b)
+
+
+def test_frame_entry_tau_matches_independent_slab_quadrature():
+    """frame_entry_tau (r4 exact-entry-tau hoist): per pixel ray, tau
+    equals -log T of the entry->exit segment where entry/exit come from
+    an INDEPENDENT numpy slab test (validating entry_exit_points + the
+    hoist wiring), misses are exactly zero, and the deepest ray's tau is
+    near the analytic factor * density * chord (border trilerp thins the
+    face half-voxels, hence the loose tolerance there)."""
+    from neuralradiancecaching_tpu.render import tiled
+
+    cfg = _coll_config(use_nn=False)
+    cfg = dataclasses.replace(
+        cfg, camera=dataclasses.replace(cfg.camera,
+                                        position=(0.0, 0.0, -12.0)))
+    assert cfg.path.entry_tau_steps > 0  # the shipped default
+    scene = tiny_scene(cfg, density_value=0.5)
+    tau = np.asarray(tiled.frame_entry_tau(scene, cfg))
+
+    ro, rd = pixel_rays(scene.camera, cfg.render.width, cfg.render.height)
+    ro_n, rd_n = np.asarray(ro), np.asarray(rd)
+    half = np.asarray(cfg.volume.box_size, np.float32) / 2.0
+    with np.errstate(divide="ignore"):
+        t1 = (-half - ro_n) / rd_n
+        t2 = (half - ro_n) / rd_n
+    t_near = np.maximum(np.minimum(t1, t2).max(axis=1), 0.0)
+    t_far = np.maximum(t1, t2).min(axis=1)
+    hits = t_far > t_near
+    entry = ro_n + t_near[:, None] * rd_n
+    exit_p = ro_n + t_far[:, None] * rd_n
+    t_seg = np.asarray(vol_ops.transmittance(
+        scene.density, jnp.asarray(entry), jnp.asarray(exit_p),
+        cfg.path.entry_tau_steps, cfg.volume))
+    expect = np.where(hits, -np.log(np.maximum(t_seg, 1e-20)), 0.0)
+    np.testing.assert_allclose(tau, expect, rtol=1e-4, atol=1e-5)
+    assert hits.any() and not hits.all()
+    # deepest chord: quadrature tau within 15% of the analytic constant-
+    # density value (the face half-voxel border lerp accounts for the gap)
+    i = int(np.argmax(np.where(hits, t_far - t_near, 0.0)))
+    chord = float(np.linalg.norm(exit_p[i] - entry[i]))
+    analytic = cfg.volume.density_factor * 0.5 * chord
+    assert abs(tau[i] - analytic) / analytic < 0.15, (tau[i], analytic)
+
+
+def test_frame_entry_tau_zero_when_disabled():
+    """entry_tau_steps=0 (the train-walk setting, targets._row_tau_cfg)
+    keeps the row tau: the hoisted bake returns exact zeros."""
+    from neuralradiancecaching_tpu.render import tiled
+
+    cfg = _coll_config(use_nn=False)
+    cfg = dataclasses.replace(
+        cfg, path=dataclasses.replace(cfg.path, entry_tau_steps=0))
+    scene = tiny_scene(cfg)
+    assert np.abs(np.asarray(tiled.frame_entry_tau(scene, cfg))).max() == 0.0
+
+
+def test_collision_nonn_two_phase_split_parity():
+    """The no-NN two-phase walk split (r4 train lever,
+    PathTraceConfig.coll_nonn_phase1_steps / coll_nonn_live_fraction) on
+    the COLLISION sampler: phase-2 shades at the packed lanes and
+    scatter-adds back, so the render mean must match the unsplit walk."""
+    base = _coll_config(use_nn=False)
+    base = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera,
+                                         position=(0.0, 0.0, -12.0)))
+
+    def render_mean(p1, frac, spp):
+        cfg = dataclasses.replace(
+            base, path=dataclasses.replace(
+                base.path, max_bounces=8, coll_weight_rr=1e-4,
+                coll_nonn_phase1_steps=p1, coll_nonn_live_fraction=frac))
+        scene = tiny_scene(cfg)
+        # 48x48 = 2304 rays > the 1024-lane compaction floor, so the
+        # split REALLY shrinks the lane count mid-walk
+        ro, rd = pixel_rays(scene.camera, 48, 48)
+        acc = 0.0
+        for i in range(spp):
+            rgb, _ = pathtrace.render_image(scene, cfg, ro, rd,
+                                            jax.random.PRNGKey(500 + i))
+            acc = acc + np.asarray(rgb)
+        assert np.isfinite(acc).all()
+        return acc / spp
+
+    img_plain = render_mean(0, 0.0, 4)
+    img_split = render_mean(3, 0.5, 4)
+    rel = abs(img_plain.mean() - img_split.mean()) / max(img_plain.mean(),
+                                                         1e-6)
+    assert rel < 0.1, (img_plain.mean(), img_split.mean())

@@ -149,3 +149,81 @@ def test_field_dir_buckets_config_knob():
     # coarse (8,8,8) voxels dominate the residual on this noisy grid;
     # the ordering above is the knob's contract
     assert errs[(32, 64)] < 0.08, errs
+
+
+def test_env_cell_integrals_constant_env():
+    """env_cell_integrals (r4 exact-cell-power quadrature): a constant env
+    integrates to power[q] = c * cell solid angle exactly per cell (the
+    equirect rows are uniform in polar theta, so texels never straddle
+    cells), total 4*pi*c; centroids are unit and near the cell centers."""
+    H, W = 64, 128
+    c = 0.7
+    env = jnp.full((H, W, 3), c, jnp.float32)
+    nt, npin = 8, 16
+    power, cdirs = lightfield.env_cell_integrals(env, nt, npin)
+    p = np.asarray(power)
+    np.testing.assert_allclose(p.sum(axis=0), 4.0 * math.pi * c, rtol=2e-3)
+    for it in range(nt):
+        t0, t1 = it * math.pi / nt, (it + 1) * math.pi / nt
+        expect = (math.cos(t0) - math.cos(t1)) * (2.0 * math.pi / npin) * c
+        np.testing.assert_allclose(p[it * npin:(it + 1) * npin, 0], expect,
+                                   rtol=0.02)
+    cd = np.asarray(cdirs)
+    np.testing.assert_allclose(np.linalg.norm(cd, axis=1), 1.0, atol=1e-5)
+    # constant env: the luminance-weighted centroid is near the geometric
+    # cell center direction
+    cth = (np.arange(nt) + 0.5) / nt * math.pi
+    cph = ((np.arange(npin) + 0.5) / npin * 2.0 - 1.0) * math.pi
+    tt, pp = np.meshgrid(cth, cph, indexing="ij")
+    centers = np.asarray(lightfield._dir_from_theta_phi(
+        jnp.asarray(tt, jnp.float32), jnp.asarray(pp, jnp.float32)
+    )).reshape(-1, 3)
+    dots = np.sum(cd * centers, axis=1)
+    assert dots.min() > 0.95, dots.min()
+
+
+def test_env_cell_integrals_delta_emitter():
+    """A single bright texel (the horizon-sun aliasing case this
+    quadrature fixes): its cell carries exactly the texel's sin-weighted
+    power, every other cell is zero, and the cell's centroid points at
+    the TEXEL, not the cell center."""
+    H, W = 32, 64
+    env = np.zeros((H, W, 3), np.float32)
+    i, j = 5, 11
+    env[i, j] = (10.0, 20.0, 30.0)
+    nt, npin = 4, 8
+    power, cdirs = lightfield.env_cell_integrals(jnp.asarray(env), nt, npin)
+    theta = math.pi * (1.0 - (i + 0.5) / H)
+    phi = ((j + 0.5) / W * 2.0 - 1.0) * math.pi
+    it = min(int(theta / math.pi * nt), nt - 1)
+    ip = min(int((phi / math.pi + 1.0) * 0.5 * npin), npin - 1)
+    q = it * npin + ip
+    dom = math.sin(theta) * (math.pi / H) * (2.0 * math.pi / W)
+    p = np.asarray(power)
+    np.testing.assert_allclose(p[q], np.asarray([10.0, 20.0, 30.0]) * dom,
+                               rtol=1e-5)
+    mask = np.ones(nt * npin, bool)
+    mask[q] = False
+    assert np.abs(p[mask]).max() == 0.0
+    d_tex = np.asarray(lightfield._dir_from_theta_phi(
+        jnp.float32(theta), jnp.float32(phi)))
+    assert float(np.asarray(cdirs)[q] @ d_tex) > 0.9999
+    # dark cells fall back to unit geometric centers
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(cdirs), axis=1),
+                               1.0, atol=1e-5)
+
+
+def test_scatter_field_out_buckets_golden_zero_density():
+    """build_scatter_field at a custom VolumeConfig.field_out_buckets (r4
+    knob): zero density + constant env => the HG-convolved in-scatter
+    radiance is the env constant for EVERY voxel and out-bucket
+    (HG/(2*pi) integrates to 1 over the sphere), and the corner-packed
+    row count scales with the bucket grid."""
+    vol = VolumeConfig(grid_shape=(8, 8, 8), box_size=(8.0, 8.0, 8.0),
+                       field_out_buckets=(4, 8), field_dir_buckets=(16, 32))
+    table = volume.build_corner_table(jnp.zeros((8, 8, 8)))
+    env = jnp.full((16, 32, 3), 0.5, jnp.float32)
+    f = lightfield.build_scatter_field(table, env, vol, hg_g=0.3, steps=4,
+                                       field_shape=(2, 3, 4))
+    assert f.shape == (2 * 3 * 4 * 4 * 8, 12)
+    np.testing.assert_allclose(np.asarray(f, np.float32), 0.5, rtol=0.03)
