@@ -12,8 +12,16 @@ pixels average it. This probe MEASURES that claim once:
 Transfer holds if the large-size numbers match the shipped-size numbers
 within their noise floors. Results go to docs/PERFORMANCE.md.
 
+The 1080p NN leg renders through the SHIPPED pipeline (live-ray pack +
+uncapped chunked query + env/bake/pack hoists, bench.py's cap formulas
+over the cached probe values) -- the plain capped path exceeds HBM by
+~107 MB at 1080p regardless of band size, and the shipped path is the
+better transfer evidence anyway: it is the estimator the headline runs.
+
 Env: TRAIN (default 400), SPP_NN (8), SPP_REF (32), GT_SPP (16),
-LEGS=nn,gt subset.
+LEGS=nn,gt subset, NN_SIZES=512,1080 subset, BAND (band rows, default
+54), CKPT (npz path to cache the trained state across invocations,
+default /tmp/transfer_state.npz; delete to retrain).
 """
 
 import dataclasses
@@ -61,18 +69,31 @@ def main():
     env_img = assets.load_env_map()
     scene = make_scene(cfg, density, env_img)
     st = nrc.init_state(jax.random.PRNGKey(cfg.seed), cfg)
-    for i in range(train_steps):
-        st, _ = frame_mod.train_only_step(st, scene,
-                                          jax.random.PRNGKey(1000 + i), cfg)
-    np.asarray(st.hash_table.sum())
-    t(f"{train_steps} train steps done")
+    ckpt = os.environ.get("CKPT", "/tmp/transfer_state.npz")
+    if ckpt and os.path.exists(ckpt):
+        from neuralradiancecaching_tpu.io import checkpoint
+        st = checkpoint.load(ckpt, st)
+        t(f"trained state loaded from {ckpt}")
+    else:
+        for i in range(train_steps):
+            st, _ = frame_mod.train_only_step(
+                st, scene, jax.random.PRNGKey(1000 + i), cfg)
+        np.asarray(st.hash_table.sum())
+        t(f"{train_steps} train steps done")
+        if ckpt:
+            from neuralradiancecaching_tpu.io import checkpoint
+            checkpoint.save(ckpt, st)
 
-    def accum(c, spp_total, key0, banded):
+    band_rows = int(os.environ.get("BAND", 54))
+
+    def accum(c, spp_total, key0, banded, env_rgb=None, baked=None,
+              pack=None):
         acc = None
         for i in range(spp_total):
             k = jax.random.PRNGKey(key0 + i)
             if banded:
-                img = render_banded(st, scene, k, c, band_rows=54)
+                img = render_banded(st, scene, k, c, band_rows=band_rows,
+                                    env_rgb=env_rgb, baked=baked, pack=pack)
             else:
                 img = frame_mod.render_only_step(st, scene, k, c)
             acc = img if acc is None else acc + img
@@ -87,16 +108,65 @@ def main():
                                        query_cap_fraction=0.375),
         )
 
+    def shipped_cfg(w, h):
+        """The headline pipeline's caps (bench.py formulas): live-ray
+        pack + uncapped chunked query + bf16 query compute. Probe values
+        from the bench probe cache when present (same scene and pose)."""
+        qcfg = size_cfg(w, h)
+        live_frac, ev_mean, k_slots = 0.19, 0.255, 5.0
+        try:
+            import json
+            pth = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache",
+                "bench_probes.json")
+            with open(pth) as f:
+                probes = next(iter(json.load(f).values()))
+            live_frac = probes["live_frac"]
+            ev_mean, k_slots = probes["ev_mean"], probes["k_slots"]
+        except (OSError, ValueError, StopIteration, KeyError):
+            pass
+        pack = min(1.0, float(np.ceil((live_frac * 1.05 + 0.005) / 0.015625)
+                              * 0.015625))
+        shade_cap = min(k_slots,
+                        float(np.ceil((ev_mean * 1.05 + 0.01) / 0.015625)
+                              * 0.015625))
+        return dataclasses.replace(
+            qcfg,
+            render=dataclasses.replace(qcfg.render, query_cap_fraction=1.0,
+                                       shade_cap_fraction=shade_cap,
+                                       live_pack_fraction=pack),
+            mlp=dataclasses.replace(qcfg.mlp, inference_dtype="bfloat16"))
+
+    nn_sizes = os.environ.get("NN_SIZES", "512,1080").split(",")
     if "nn" in legs:
         # NN noise-sub leg at the shipped 512^2 and at the 1080p headline
-        # size (banded, like the throughput loop renders it)
+        # size (banded + packed + hoisted, like the throughput loop)
         for (w, h, banded) in [(512, 512, False), (1920, 1080, True)]:
-            qcfg = size_cfg(w, h)
+            if str(h) not in nn_sizes:
+                continue
+            if banded:
+                from neuralradiancecaching_tpu.render.tiled import (
+                    frame_env_color, frame_live_pack)
+                qcfg = shipped_cfg(w, h)
+                env_rgb = frame_env_color(scene, qcfg)
+                baked = nrc.bake(st, qcfg)
+                pack = frame_live_pack(scene, qcfg, band_rows)
+                hoists = dict(env_rgb=env_rgb, baked=baked, pack=pack)
+                t(f"shipped-pipeline hoists ready ({w}x{h}, pack="
+                  f"{qcfg.render.live_pack_fraction}, shade_cap="
+                  f"{qcfg.render.shade_cap_fraction})")
+            else:
+                qcfg = size_cfg(w, h)
+                hoists = {}
             rcfg = dataclasses.replace(qcfg, render=dataclasses.replace(
                 qcfg.render, use_nn=False))
-            a1 = accum(qcfg, spp_nn, 2000, banded)
-            a2 = accum(qcfg, spp_nn, 6000, banded)
+            a1 = accum(qcfg, spp_nn, 2000, banded, **hoists)
+            t(f"NN twin A done ({w}x{h})")
+            a2 = accum(qcfg, spp_nn, 6000, banded, **hoists)
+            # ref twins: no-NN banded (render_banded's _bands_program
+            # path -- no query buffers, no pack needed)
             r1 = accum(rcfg, spp_ref, 3000, banded)
+            t(f"ref twin A done ({w}x{h})")
             r2 = accum(rcfg, spp_ref, 7000, banded)
             bias, floor = noise_subtracted_bias(a1, a2, r1, r2)
             t(f"NN leg {w}x{h}: noise_sub={bias:.5f} floor={floor:.5f} "
