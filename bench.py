@@ -418,21 +418,59 @@ def main():
     print(json.dumps(result))
 
 
+def _code_digest() -> str:
+    """sha1 over the package's .py sources: twin-accumulation disk caches
+    key on it so ANY code change invalidates every cached image (the cache
+    can only ever replay a measurement the current code would reproduce
+    bit-identically -- fixed keys, deterministic renders)."""
+    import hashlib
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "neuralradiancecaching_tpu")
+    h = hashlib.sha1()
+    for dirpath, _, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def quality_metrics(cfg, scene, state):
-    """North-star quality: relative RMSE of the NRC render vs a converged
-    no-cache render at 512^2 (matched estimators, accumulated spp), plus
-    the shading-cap bias A/B (VERDICT r1 findings 5/6).
+    """North-star quality legs (VERDICT r4 items 1/7):
+
+    * ``nn_vs_ground_truth_rmse_noise_sub`` -- THE north-star sentence,
+      measured end-to-end: the NN render vs the fully unbiased oracle
+      (delta sampler + ratio-tracked transmittance + MC in-scatter; the
+      reference analogue is the no-cache path tracer,
+      path-tracer.frag:38-40), twin-pair noise-subtracted, with a
+      measured +-2 sigma interval (claim holds iff hi2s <= 0.01).
+    * ``relative_rmse_noise_sub`` -- NN vs the same-sampler no-NN render
+      (isolates the CACHE's image bias from the sampler's).
+    * ``ground_truth_rmse_noise_sub`` -- no-NN shipped sampler vs the
+      oracle (isolates the SAMPLER/shading-field bias).
+    * spp=2 twins of the NN and ground-truth legs (the spp=2 throughput
+      row's own quality numbers).
+    * a moved-pose NN leg (one orbit step -- the bias number at the pose
+      motion the moving-camera throughput rows sell).
+
+    No-NN legs (reference twins, ground-truth twins, oracle twins) are
+    state-independent and deterministic given (code, config, keys); they
+    are cached on disk keyed on a digest of ALL package sources + the full
+    config repr + keys (VERDICT r4 item 9), so steady-state bench runs pay
+    only the NN legs. BENCH_TWIN_CACHE=0 disables.
 
     The cap A/B is EXACT: with in_scatter_mode='field' the shade phase
     draws no randomness, and the query/event caps change no RNG stream, so
     capped-vs-uncapped at the same key differ only by the deterministic
     drops."""
     import dataclasses
+    import hashlib
 
     import jax
 
     from neuralradiancecaching_tpu.render import frame as frame_mod
-    from neuralradiancecaching_tpu.utils.metrics import relative_rmse
+    from neuralradiancecaching_tpu.utils.metrics import (
+        noise_subtracted_bias_err, relative_rmse)
 
     qside = int(os.environ.get("BENCH_QUALITY_SIZE", 512))
     # 400: the cache-quality metric plateaus by ~400 steps (measured
@@ -461,13 +499,43 @@ def quality_metrics(cfg, scene, state):
     np.asarray(st.hash_table.sum())
     _t(f'quality: {train_steps} train steps done')
 
-    def accum(c, spp_total, key0):
+    def accum(c, spp_total, key0, sc=scene):
         acc = None
         for i in range(spp_total):
-            img = frame_mod.render_only_step(st, scene,
+            img = frame_mod.render_only_step(st, sc,
                                              jax.random.PRNGKey(key0 + i), c)
             acc = img if acc is None else acc + img
         return np.asarray(acc / spp_total)
+
+    code_dig = _code_digest()
+    twin_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".jax_cache", "bench_twins")
+    use_twin_cache = os.environ.get("BENCH_TWIN_CACHE", "1") != "0"
+
+    def accum_cached(c, spp_total, key0, tag, sc=scene, pose="base"):
+        """No-NN legs only: with use_nn=False the render never reads the
+        trained state (the unused bake is DCE'd), so the accumulated image
+        is deterministic given (code digest, config, pose, keys) -- safe
+        to replay from disk across runs (VERDICT r4 item 9). The digest
+        includes EVERY package source file, so any code change recomputes."""
+        assert not c.render.use_nn
+        if not use_twin_cache:
+            return accum(c, spp_total, key0, sc)
+        dig = hashlib.sha1(
+            f"{code_dig}|{repr(c)}|{pose}|{spp_total}|{key0}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(twin_dir, f"{tag}_{dig}.npz")
+        try:
+            return np.load(path)["img"]
+        except (OSError, ValueError, KeyError):
+            pass
+        img = accum(c, spp_total, key0, sc)
+        try:
+            os.makedirs(twin_dir, exist_ok=True)
+            np.savez_compressed(path, img=img)
+        except OSError:
+            pass
+        return img
 
     # Noise-controlled protocol (VERDICT r2 item 5): the raw NRC-vs-MC
     # image RMSE is dominated by the comparison's own MC noise at
@@ -476,21 +544,21 @@ def quality_metrics(cfg, scene, state):
     # A1,A2 ~ (bias + noise) and R1,R2 ~ noise,
     #   E mean((Abar-Rbar)^2) = bias^2 + (s_A^2 + s_R^2)/2
     # with s^2 estimated per-pixel from the twins (E mean((A1-A2)^2)
-    # = 2 s_A^2), giving an unbiased bias^2 estimate after subtraction
-    # (averaged over 262k pixels the estimator noise is negligible).
+    # = 2 s_A^2), giving an unbiased bias^2 estimate after subtraction,
+    # and a per-pixel standard error giving the +-2 sigma interval
+    # (noise_subtracted_bias_err).
     img_nn = accum(qcfg, spp_nn, 2000)
     img_nn2 = accum(qcfg, spp_nn, 6000)
     _t('quality: NN twin accumulations done')
     ref_cfg = dataclasses.replace(
         qcfg, render=dataclasses.replace(qcfg.render, use_nn=False))
-    img_ref = accum(ref_cfg, spp_ref, 3000)
-    img_ref2 = accum(ref_cfg, spp_ref, 7000)
+    img_ref = accum_cached(ref_cfg, spp_ref, 3000, "ref")
+    img_ref2 = accum_cached(ref_cfg, spp_ref, 7000, "ref")
     _t('quality: reference twin accumulations done')
     rel = relative_rmse(img_nn, img_ref)
 
-    from neuralradiancecaching_tpu.utils.metrics import noise_subtracted_bias
-    bias_rel, floor_rel = noise_subtracted_bias(img_nn, img_nn2,
-                                                img_ref, img_ref2)
+    bias_rel, floor_rel, _, bias_hi = noise_subtracted_bias_err(
+        img_nn, img_nn2, img_ref, img_ref2)
 
     # spp=2 bias leg (VERDICT r3 item 5): the spp=2 throughput row's own
     # quality number. The per-sample estimator is identical -- spp only
@@ -504,21 +572,49 @@ def quality_metrics(cfg, scene, state):
             qcfg, render=dataclasses.replace(qcfg.render, spp=2))
         s1 = accum(q2, spp_nn // 2, 2000)
         s2 = accum(q2, spp_nn // 2, 6000)
-        b2, _ = noise_subtracted_bias(s1, s2, img_ref, img_ref2)
+        b2, _, _, _ = noise_subtracted_bias_err(s1, s2, img_ref, img_ref2)
         spp2 = {"relative_rmse_noise_sub_spp2": round(b2, 5)}
         _t('quality: spp2 NN twin accumulations done')
 
-    # GROUND-TRUTH leg (VERDICT r3 item 1): the shipped no-NN render vs
-    # the FULLY UNBIASED oracle -- delta sampler + ratio-tracked
-    # transmittance + MC in-scatter (the repo's own ground truth; the
-    # reference analogue is the no-cache path tracer,
-    # path-tracer.frag:38-40). Same twin-pair noise subtraction. Run at
-    # 256^2 (the bias is estimator-level, not resolution-level -- the
-    # probe ledger in docs/PERFORMANCE.md carries the transfer check);
-    # BENCH_QUALITY_GT=0 skips, BENCH_QUALITY_GT_SPP tunes the floor.
+    # MOVED-POSE leg (VERDICT r4 item 7): the same NN-vs-reference bias
+    # one orbit step away from the bench pose, so the quality numbers
+    # cover the pose motion the moving-camera throughput rows sell.
+    # Pose-static machinery (env/pack/entry-tau hoists) is not involved
+    # here -- render_only_step recomputes everything per pose -- so this
+    # measures the estimator at a second camera, not the hoist logic.
+    moved = {}
+    if os.environ.get("BENCH_QUALITY_MOVED", "1") != "0":
+        from neuralradiancecaching_tpu.scene import camera as cam_mod
+        mpos, mdir = cam_mod.orbit_position(1, 64, radius=64.0)
+        scene_m = scene._replace(camera=cam_mod.make_camera(
+            qcfg.camera, position=mpos, view_dir=mdir))
+        m1 = accum(qcfg, spp_nn, 2000, scene_m)
+        m2 = accum(qcfg, spp_nn, 6000, scene_m)
+        mr1 = accum_cached(ref_cfg, spp_ref, 3000, "ref", scene_m, "orbit1")
+        mr2 = accum_cached(ref_cfg, spp_ref, 7000, "ref", scene_m, "orbit1")
+        mb, mf, _, _ = noise_subtracted_bias_err(m1, m2, mr1, mr2)
+        moved = {"relative_rmse_noise_sub_moved": round(mb, 5),
+                 "noise_floor_rel_moved": round(mf, 5)}
+        _t('quality: moved-pose twin accumulations done')
+
+    # GROUND-TRUTH legs (VERDICT r4 item 1): against the FULLY UNBIASED
+    # oracle -- delta sampler + ratio-tracked transmittance + MC
+    # in-scatter (the repo's own ground truth; the reference analogue is
+    # the no-cache path tracer, path-tracer.frag:38-40):
+    #   * nn_vs_ground_truth_*: the NN render vs the oracle -- the literal
+    #     north-star sentence, measured end-to-end (the cache trains on
+    #     row-tau targets, so this is NOT derivable from the other legs);
+    #   * ground_truth_*: the shipped no-NN render vs the oracle (sampler
+    #     + shading-field bias in isolation).
+    # gt_spp default 64 (r4 ran 16): the subtracted noise floor enters the
+    # bias estimate quadratically, so 4x spp cuts its contamination 4x;
+    # the oracle twins are state-independent and disk-cached. Run at 256^2
+    # (at fixed sample budget, fewer pixels at more spp minimizes the
+    # estimator's standard error -- it scales as floor^2/sqrt(N) with
+    # floor^2 ~ 1/spp and cost ~ spp*N).
     gt = {}
     if os.environ.get("BENCH_QUALITY_GT", "1") != "0":
-        gt_spp = int(os.environ.get("BENCH_QUALITY_GT_SPP", 16))
+        gt_spp = int(os.environ.get("BENCH_QUALITY_GT_SPP", 64))
         gt_side = int(os.environ.get("BENCH_QUALITY_GT_SIZE", 256))
         gcfg = dataclasses.replace(
             qcfg, render=dataclasses.replace(qcfg.render, width=gt_side,
@@ -529,20 +625,53 @@ def quality_metrics(cfg, scene, state):
                                      transmittance_mode="ratio"),
             env_map=dataclasses.replace(gcfg.env_map, in_scatter_mode="mc",
                                         transmittance_mode="ratio"))
-        g1 = accum(gcfg, gt_spp, 20000)
-        g2 = accum(gcfg, gt_spp, 24000)
-        o1 = accum(ocfg, 2 * gt_spp, 21000)
-        o2 = accum(ocfg, 2 * gt_spp, 25000)
-        _t('quality: ground-truth twin accumulations done')
-        gt_bias, gt_floor = noise_subtracted_bias(g1, g2, o1, o2)
+        o1 = accum_cached(ocfg, 2 * gt_spp, 21000, "oracle")
+        o2 = accum_cached(ocfg, 2 * gt_spp, 25000, "oracle")
+        _t('quality: oracle twin accumulations done')
+        g1 = accum_cached(gcfg, gt_spp, 20000, "gt")
+        g2 = accum_cached(gcfg, gt_spp, 24000, "gt")
+        gt_bias, gt_floor, _, gt_hi = noise_subtracted_bias_err(g1, g2,
+                                                                o1, o2)
         om = (o1 + o2).mean() / 2
+        # THE north-star number: NN render twins vs the oracle twins
+        ncfg = dataclasses.replace(
+            gcfg, render=dataclasses.replace(gcfg.render, use_nn=True))
+        n1 = accum(ncfg, gt_spp, 20000)
+        n2 = accum(ncfg, gt_spp, 24000)
+        nn_bias, nn_floor, _, nn_hi = noise_subtracted_bias_err(n1, n2,
+                                                                o1, o2)
+        _t('quality: NN-vs-oracle twin accumulations done')
         gt = {
+            "nn_vs_ground_truth_rmse_noise_sub": round(nn_bias, 5),
+            "nn_vs_ground_truth_hi2s": round(nn_hi, 5),
+            "nn_vs_ground_truth_noise_floor": round(nn_floor, 5),
+            "nn_vs_ground_truth_mean_delta": round(
+                float((n1 + n2).mean() / 2 - om) / max(float(om), 1e-9), 5),
             "ground_truth_rmse_noise_sub": round(gt_bias, 5),
+            "ground_truth_hi2s": round(gt_hi, 5),
             "ground_truth_noise_floor": round(gt_floor, 5),
             "ground_truth_mean_delta": round(
                 float((g1 + g2).mean() / 2 - om) / max(float(om), 1e-9), 5),
             "ground_truth_spp": gt_spp,
         }
+        # spp=2 GT legs (VERDICT r4 item 7: per-leg symmetry): the shipped
+        # spp=2 render (no-NN and NN) vs the same oracle twins, same total
+        # sample budget. Distinct key ranges -- an spp=2 program's stream
+        # at key k need not be independent of the spp=1 program's at k.
+        if os.environ.get("BENCH_QUALITY_SPP2", "1") != "0" and gt_spp >= 2:
+            g2cfg = dataclasses.replace(
+                gcfg, render=dataclasses.replace(gcfg.render, spp=2))
+            gs1 = accum_cached(g2cfg, gt_spp // 2, 30000, "gt2")
+            gs2 = accum_cached(g2cfg, gt_spp // 2, 34000, "gt2")
+            gb2, _, _, _ = noise_subtracted_bias_err(gs1, gs2, o1, o2)
+            n2cfg = dataclasses.replace(
+                ncfg, render=dataclasses.replace(ncfg.render, spp=2))
+            ns1 = accum(n2cfg, gt_spp // 2, 30000)
+            ns2 = accum(n2cfg, gt_spp // 2, 34000)
+            nb2, _, _, _ = noise_subtracted_bias_err(ns1, ns2, o1, o2)
+            gt["ground_truth_rmse_noise_sub_spp2"] = round(gb2, 5)
+            gt["nn_vs_ground_truth_rmse_noise_sub_spp2"] = round(nb2, 5)
+            _t('quality: spp2 GT twin accumulations done')
 
     # cap bias A/B (same single key; shading deterministic in field mode)
     uncapped = dataclasses.replace(
@@ -558,11 +687,11 @@ def quality_metrics(cfg, scene, state):
     _t('quality: cap-bias A/B done')
     out = {
         "relative_rmse": round(float(rel), 5),
-        # noise-subtracted NRC image bias (the north-star <=1% number) and
-        # the comparison's own noise floor; bias is falsifiable iff the
-        # floor's CONTRIBUTION to it is small (floor enters quadratically:
-        # a 5% floor biases a 1% true signal by <0.2%)
+        # noise-subtracted NN-vs-same-sampler image bias (cache bias in
+        # isolation) and the comparison's own noise floor; the north-star
+        # number itself is nn_vs_ground_truth_rmse_noise_sub above
         "relative_rmse_noise_sub": round(bias_rel, 5),
+        "relative_rmse_noise_sub_hi2s": round(bias_hi, 5),
         "noise_floor_rel": round(floor_rel, 5),
         "quality_size": qside,
         "quality_train_steps": train_steps,
@@ -570,6 +699,7 @@ def quality_metrics(cfg, scene, state):
         "cap_bias_mean_delta": round(float(a.mean() - b.mean())
                                      / max(float(b.mean()), 1e-9), 6),
         **spp2,
+        **moved,
         **gt,
     }
     if qcfg.path.sampler in ("collision", "delta"):

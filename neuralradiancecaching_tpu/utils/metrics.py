@@ -104,3 +104,40 @@ def noise_subtracted_bias(a1: np.ndarray, a2: np.ndarray,
     bias_rel = float(np.sqrt(max(ms - floor_ms, 0.0))) / rms
     floor_rel = float(np.sqrt(floor_ms)) / rms
     return bias_rel, floor_rel
+
+
+def noise_subtracted_bias_err(a1: np.ndarray, a2: np.ndarray,
+                              r1: np.ndarray, r2: np.ndarray
+                              ) -> tuple[float, float, float, float]:
+    """:func:`noise_subtracted_bias` with a measured uncertainty on the
+    bias estimate (VERDICT r4 item 1b: the <=1% north-star claim must hold
+    at +-2 sigma, not flip sign with run-to-run noise).
+
+    The bias^2 estimator is a mean over pixels of the per-pixel statistic
+        z_i = dbar_i^2 - ((a1-a2)_i^2 + (r1-r2)_i^2) / 4,
+    whose expectation is bias_i^2 (the twin terms subtract the MC noise
+    floor unbiasedly). Pixels carry independent MC noise (per-ray RNG
+    streams), so the standard error of mean(z) is std(z)/sqrt(N_pixels);
+    channels within a pixel are correlated (shared path), so z is reduced
+    over channels FIRST and N counts pixels, not elements.
+
+    Returns (bias_rel, floor_rel, bias_rel_lo2s, bias_rel_hi2s): the point
+    estimate, the noise floor, and the +-2 sigma interval of the bias --
+    all relative to rms(Rbar). bias_rel_hi2s <= tolerance is the
+    statistically safe form of a "bias <= tolerance" claim.
+    """
+    a1, a2 = np.asarray(a1, np.float64), np.asarray(a2, np.float64)
+    r1, r2 = np.asarray(r1, np.float64), np.asarray(r2, np.float64)
+    a_bar, r_bar = (a1 + a2) / 2, (r1 + r2) / 2
+    d = a_bar - r_bar
+    z = d ** 2 - ((a1 - a2) ** 2 + (r1 - r2) ** 2) / 4
+    zp = z.reshape(-1, z.shape[-1]).mean(axis=1) if z.ndim >= 2 else z
+    m = float(zp.mean())
+    sem = float(zp.std(ddof=1)) / np.sqrt(zp.shape[0])
+    floor_ms = float(np.mean((a1 - a2) ** 2 + (r1 - r2) ** 2)) / 4
+    rms = max(float(np.sqrt(np.mean(r_bar ** 2))), 1e-12)
+    bias_rel = float(np.sqrt(max(m, 0.0))) / rms
+    lo = float(np.sqrt(max(m - 2 * sem, 0.0))) / rms
+    hi = float(np.sqrt(max(m + 2 * sem, 0.0))) / rms
+    floor_rel = float(np.sqrt(floor_ms)) / rms
+    return bias_rel, floor_rel, lo, hi

@@ -193,3 +193,33 @@ def test_noise_subtracted_bias_recovers_known_bias():
     b0, _ = metrics.noise_subtracted_bias(noisy(truth), noisy(truth),
                                           noisy(truth), noisy(truth))
     assert b0 < 0.5 * true_bias, b0
+
+
+def test_noise_subtracted_bias_err_interval_covers_truth():
+    """noise_subtracted_bias_err's +-2 sigma interval covers the planted
+    bias, agrees with noise_subtracted_bias on the point estimate, and the
+    interval width matches the empirical run-to-run spread (the r5 GT
+    protocol's statistical-safety claim)."""
+    rng = np.random.default_rng(1)
+    shape = (128, 128, 3)
+    truth = 2.0 + rng.random(shape)
+    bias_field = 0.02 * truth
+    sigma = 0.25
+    rms = np.sqrt(np.mean(truth ** 2))
+    true_bias = np.sqrt(np.mean(bias_field ** 2)) / rms
+
+    def run(seed):
+        r = np.random.default_rng(seed)
+
+        def noisy(base):
+            return base + r.normal(0, sigma, shape)
+
+        return metrics.noise_subtracted_bias_err(
+            noisy(truth + bias_field), noisy(truth + bias_field),
+            noisy(truth), noisy(truth))
+
+    results = [run(s) for s in range(12)]
+    covered = sum(lo <= true_bias <= hi for _, _, lo, hi in results)
+    assert covered >= 10, (covered, true_bias, results)
+    for b, _, lo, hi in results:
+        assert lo <= b <= hi
