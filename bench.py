@@ -647,18 +647,30 @@ def quality_metrics(cfg, scene, state):
         spp2 = {"relative_rmse_noise_sub_spp2": round(b2, 5)}
         _t('quality: spp2 NN twin accumulations done')
 
-    # MOVED-POSE leg (VERDICT r4 item 7): the same NN-vs-reference bias
-    # one orbit step away from the bench pose, so the quality numbers
-    # cover the pose motion the moving-camera throughput rows sell.
+    # MOVED-POSE legs (VERDICT r4 item 7): the NN-vs-reference bias under
+    # pose motion, so the quality numbers cover what the moving-camera
+    # throughput rows sell. Two regimes:
+    #   * _moved: the cache trained ONLY at the bench pose, evaluated one
+    #     orbit step (5.6 deg) away -- the STALE-CACHE TRANSIENT upper
+    #     bound (a camera teleport with zero adaptation);
+    #   * _tracked: the cache additionally trained ALONG the trailing
+    #     orbit at the moving-bench cadence (1 deg/frame, train-every-4 =
+    #     one train step per 4 deg of orbit), evaluated at the pose the
+    #     trajectory arrives at -- the steady-tracking regime of the
+    #     online_fps_moving loop.
     # Pose-static machinery (env/pack/entry-tau hoists) is not involved
-    # here -- render_only_step recomputes everything per pose -- so this
-    # measures the estimator at a second camera, not the hoist logic.
+    # here -- render_only_step recomputes everything per pose -- so these
+    # measure the estimator at moving cameras, not the hoist logic.
     moved = {}
     if os.environ.get("BENCH_QUALITY_MOVED", "1") != "0":
         from neuralradiancecaching_tpu.scene import camera as cam_mod
-        mpos, mdir = cam_mod.orbit_position(1, 64, radius=64.0)
-        scene_m = scene._replace(camera=cam_mod.make_camera(
-            qcfg.camera, position=mpos, view_dir=mdir))
+
+        def orbit_scene(frame, n):
+            mpos, mdir = cam_mod.orbit_position(frame, n, radius=64.0)
+            return scene._replace(camera=cam_mod.make_camera(
+                qcfg.camera, position=mpos, view_dir=mdir))
+
+        scene_m = orbit_scene(1, 64)
         m1 = accum(qcfg, spp_nn, 2000, scene_m)
         m2 = accum(qcfg, spp_nn, 6000, scene_m)
         mr1 = accum_cached(ref_cfg, spp_ref, 3000, "ref", scene_m, "orbit1")
@@ -666,7 +678,29 @@ def quality_metrics(cfg, scene, state):
         mb, mf, _, _ = noise_subtracted_bias_err(m1, m2, mr1, mr2)
         moved = {"relative_rmse_noise_sub_moved": round(mb, 5),
                  "noise_floor_rel_moved": round(mf, 5)}
-        _t('quality: moved-pose twin accumulations done')
+        _t('quality: moved-pose (stale) twin accumulations done')
+
+        track_steps = int(os.environ.get("BENCH_QUALITY_TRACK_STEPS", 96))
+        if track_steps > 0:
+            st_save = st
+            # one train step per 4 deg of orbit (n=90), arriving at pose
+            # track_steps; same compiled train program (scene is an arg)
+            for i in range(track_steps):
+                st, _ = frame_mod.train_only_step(
+                    st, orbit_scene(i, 90), jax.random.PRNGKey(40000 + i),
+                    cfg)
+            scene_t = orbit_scene(track_steps, 90)
+            t1 = accum(qcfg, spp_nn, 2000, scene_t)
+            t2 = accum(qcfg, spp_nn, 6000, scene_t)
+            tr1 = accum_cached(ref_cfg, spp_ref, 3000, "ref", scene_t,
+                               f"track{track_steps}")
+            tr2 = accum_cached(ref_cfg, spp_ref, 7000, "ref", scene_t,
+                               f"track{track_steps}")
+            tb, tf, _, _ = noise_subtracted_bias_err(t1, t2, tr1, tr2)
+            moved["relative_rmse_noise_sub_tracked"] = round(tb, 5)
+            moved["noise_floor_rel_tracked"] = round(tf, 5)
+            st = st_save  # downstream legs keep the bench-pose cache
+            _t('quality: tracked-pose twin accumulations done')
 
     # GROUND-TRUTH legs (VERDICT r4 item 1): against the FULLY UNBIASED
     # oracle -- delta sampler + ratio-tracked transmittance + MC

@@ -273,7 +273,10 @@ def cmd_progressive(args) -> None:
 
     mesh = _mesh_from_arg(getattr(args, "mesh", None))
     n_dev = mesh.devices.size if mesh is not None else 1
-    band = _band_rows(args.width, args.height, n_dev)
+    band = (args.band_rows if getattr(args, "band_rows", 0)
+            else _band_rows(args.width, args.height, n_dev))
+    if band:
+        assert args.height % (n_dev * band) == 0, (args.height, n_dev, band)
     banded = band is not None
     accum = jnp.zeros((args.height, args.width, 3), jnp.float32)
     n_accum = 0
@@ -316,6 +319,40 @@ def cmd_progressive(args) -> None:
                                          multiple_of=n_dev)
                          if banded
                          and cfg.render.live_pack_fraction > 0.0 else None)
+            # --probe-caps (VERDICT r4 item 4): on a mesh the query/shade
+            # caps apply PER SHARD, so frame-mean defaults risk shard-local
+            # drops under band-striping skew. Probe every shard's own
+            # fractions at this pose (parallel.probe_dp_caps: worst-shard
+            # sizing, drop-free by construction) and tighten the caps.
+            # Caps round UP to 1/16 so the jitted program shape survives
+            # pose-to-pose wiggle (same reason as the 1/8 live-pack
+            # rounding above); 'uncapped' disables compaction caps
+            # entirely (the drop-free oracle the mesh test compares
+            # against); 'off' keeps the config defaults.
+            from neuralradiancecaching_tpu.render import pathtrace
+            if (mesh is not None and banded and cfg.render.use_nn
+                    and pathtrace.shade_deferred(cfg)
+                    and args.probe_caps == "auto"):
+                from neuralradiancecaching_tpu.parallel import probe_dp_caps
+                cfg_t, _rep = probe_dp_caps(scene, cfg, n_dev,
+                                            band_rows=band, pack=live_pack)
+                qc = min(1.0, float(np.ceil(
+                    cfg_t.render.query_cap_fraction / 0.0625) * 0.0625))
+                sc = float(np.ceil(cfg_t.render.shade_cap_fraction
+                                   / 0.0625) * 0.0625)
+                if (qc, sc) != (cfg.render.query_cap_fraction,
+                                cfg.render.shade_cap_fraction):
+                    cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+                        cfg.render, query_cap_fraction=qc,
+                        shade_cap_fraction=sc))
+                print(f"probe-caps: query_cap={qc} shade_cap={sc} "
+                      f"(per-shard worst: q={_rep.query_frac.max():.4f} "
+                      f"ev={_rep.event_mean.max():.4f})")
+            elif (mesh is not None and banded
+                  and args.probe_caps == "uncapped"):
+                cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+                    cfg.render, query_cap_fraction=1.0,
+                    shade_cap_fraction=float(cfg.path.max_bounces)))
         key = jax.random.PRNGKey(args.seed * 31 + i)
         # --train-every N: amortized online training (the train step is a
         # whole separate device program ~as expensive as the render; N>1
@@ -468,6 +505,17 @@ def main(argv=None) -> None:
                     help="distance sampler override (delta = unbiased "
                          "batched Woodcock; runs the same deferred "
                          "production pipeline)")
+    sp.add_argument("--probe-caps", dest="probe_caps", type=str,
+                    default="auto", choices=["auto", "off", "uncapped"],
+                    help="per-shard cap probing on a mesh: auto probes "
+                         "every shard's query/event fractions at each pose "
+                         "and sizes the caps to the worst shard (drop-free "
+                         "by construction, parallel.probe_dp_caps); off "
+                         "keeps config defaults; uncapped disables "
+                         "compaction caps (drop-free oracle for tests)")
+    sp.add_argument("--band-rows", dest="band_rows", type=int, default=0,
+                    help="override the banded-render row height (0 = auto; "
+                         "height must divide n_dev * rows)")
     sp.add_argument("--live-pack", dest="live_pack", type=str,
                     default="auto",
                     help="frame-global live-ray packing: auto (probe the "
