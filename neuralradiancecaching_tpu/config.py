@@ -498,12 +498,27 @@ class PathTraceConfig:
     # PHASE-1 length dominates (k1 x 80k lane-steps). Measured live decay
     # of the 8x64 target walk (slot 3: 8.1%, slot 4: 5.07+-0.05% across
     # keys, slot 8: 0.52%): slot 4 fits the 1/16 cap with 1.23x margin, so
-    # p1=4 is drop-free; p1=3 would drop. Sweep (profile_train_split_
+    # p1=4 is drop-free THERE; p1=3 would drop. Sweep (profile_train_split_
     # sweep.py): p1=4 34.5 ms vs p1=8 43.6; converged cache_rel_err_binned
     # identical (0.0233 vs 0.0229 @400 steps). Overflow beyond the cap
     # drops the highest lanes deterministically (compact_select).
-    coll_nonn_phase1_steps: int = 4
+    #
+    # r5 CORRECTION: that decay profile holds only for the TRAIN TARGET
+    # walk (interior RR-cut starting vertices). CAMERA no-NN walks decay
+    # slower -- measured live-at-slot-4 8.7% (square view) / 4.9% (16:9)
+    # vs the 6.25% cap, so the r4-late p1=4 default silently dropped
+    # phase-2 events from the no-NN RENDER (the ground-truth legs):
+    # square-view GT bias regressed 0.6% -> 1.75%, mean -1.05%
+    # (scripts/profile_gt_bias.py r5 rerun). The default is therefore
+    # back at p1=8 (camera-walk live 1.1%/0.6% at slot 8 -- 6x margin at
+    # both views), and the TRAIN-side walks opt into the aggressive
+    # p1=4 via coll_target_phase1_steps (targets._train_walk_cfg).
+    coll_nonn_phase1_steps: int = 8
     coll_nonn_live_fraction: float = 0.0625
+    # phase-1 length for the TRAIN TARGET walk only (interior starting
+    # vertices, where slot-4 live is 5.07% -- the regime the p1=4 sweep
+    # actually validated; applied by targets._train_walk_cfg)
+    coll_target_phase1_steps: int = 4
     # the DELTA no-NN walk's own split (binary escape retires lanes
     # naturally -- no weight-RR needed): measured on the real cloud, the
     # 64-slot target walk averages 3.2 events/ray with 1.4% of lanes

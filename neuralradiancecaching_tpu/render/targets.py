@@ -40,28 +40,36 @@ from neuralradiancecaching_tpu.scene.camera import Camera, pixel_rays
 from neuralradiancecaching_tpu.scene.scene import Scene
 
 
-def _row_tau_cfg(cfg: NRCConfig) -> NRCConfig:
-    """Train-side walks keep the ROW tau at slot 0 (entry_tau_steps=0).
+def _train_walk_cfg(cfg: NRCConfig) -> NRCConfig:
+    """Train-side walk overrides (vs the shipped render estimator):
 
-    The render's exact-entry-tau fix (PathTraceConfig.entry_tau_steps)
-    targets PRIMARY rays sitting on the box face, where the collision
-    row's voxel-center anchor erred +6.5% on the first-event p_sc
-    (scripts/profile_coll_bias.py). Paying its 64-step quadrature
-    in-program inside the train walks measured +62 ms/step (165.6 vs
-    103.7 ms, BENCH r4) for no usable accuracy:
-      * the VERTEX walk (use_nn=True over camera rays) consumes only
-        query_pos/query_dir and (query_weight > 0) -- the exact tau can
-        only shift the cut-distance distribution a few percent, not any
-        estimator value;
-      * the TARGET walk starts at INTERIOR RR-cut vertices, where the
-        row bias measured -1.0% -- and the renderer's own interior
-        continuation events keep the row tau too, so row-tau targets are
-        CONSISTENT with what the shipped pipeline integrates.
-    Validated: cache_rel_err_binned unchanged (A/B in the r4 ledger)."""
-    if cfg.path.entry_tau_steps == 0:
+    * keep the ROW tau at slot 0 (entry_tau_steps=0). The render's
+      exact-entry-tau fix (PathTraceConfig.entry_tau_steps) targets
+      PRIMARY rays sitting on the box face, where the collision row's
+      voxel-center anchor erred +6.5% on the first-event p_sc
+      (scripts/profile_coll_bias.py). Paying its 64-step quadrature
+      in-program inside the train walks measured +62 ms/step (165.6 vs
+      103.7 ms, BENCH r4) for no usable accuracy:
+        - the VERTEX walk (use_nn=True over camera rays) consumes only
+          query_pos/query_dir and (query_weight > 0) -- the exact tau can
+          only shift the cut-distance distribution a few percent, not any
+          estimator value;
+        - the TARGET walk starts at INTERIOR RR-cut vertices, where the
+          row bias measured -1.0% -- and the renderer's own interior
+          continuation events keep the row tau too, so row-tau targets
+          are CONSISTENT with what the shipped pipeline integrates.
+      Validated: cache_rel_err_binned unchanged (A/B in the r4 ledger).
+    * the aggressive p1=4 no-NN march split (coll_target_phase1_steps):
+      valid ONLY for interior-start target walks (slot-4 live 5.07% vs
+      the 1/16 cap); camera no-NN walks keep the drop-free p1=8 default
+      (coll_nonn_phase1_steps -- see the r5 correction note there)."""
+    p = cfg.path
+    p2 = dataclasses.replace(
+        p, entry_tau_steps=0,
+        coll_nonn_phase1_steps=p.coll_target_phase1_steps)
+    if p2 == p:
         return cfg
-    return dataclasses.replace(
-        cfg, path=dataclasses.replace(cfg.path, entry_tau_steps=0))
+    return dataclasses.replace(cfg, path=p2)
 
 
 class TrainBatch(NamedTuple):
@@ -167,7 +175,7 @@ def choose_train_vertices_collision(scene: Scene, cfg: NRCConfig,
     entry, _, _ = volume_ops.entry_exit_points(ro, rd, vol.box_size,
                                                vol.box_center)
 
-    res = pathtrace.trace_path_collision(scene, _row_tau_cfg(cfg), ro, rd,
+    res = pathtrace.trace_path_collision(scene, _train_walk_cfg(cfg), ro, rd,
                                          key, use_nn=True, env_samples=0)
     has = res.query_weight > 0.0
 
@@ -370,7 +378,7 @@ def cache_targets_collision(scene: Scene, cfg: NRCConfig, pos: jnp.ndarray,
     d_in_t = jnp.tile(d, (s_count, 1))
     d_t = phase_ops.sample_hg_direction(k_dirs, d_in_t, cfg.volume.hg_g)
     res = pathtrace.trace_path_collision(
-        scene, _row_tau_cfg(cfg), pos_t, d_t, k_t, use_nn=False,
+        scene, _train_walk_cfg(cfg), pos_t, d_t, k_t, use_nn=False,
         env_samples=cfg.train.env_samples,
         max_bounces=cfg.train.target_bounces)
     cont = jnp.mean(res.scattered.reshape(s_count, n, 3), axis=0)
@@ -398,7 +406,7 @@ def _collision_train_batch(scene: Scene, cfg: NRCConfig, k_v: jax.Array,
         else:
             ro_all = jnp.tile(ro, (over, 1))
             rd_all = jnp.tile(rd, (over, 1))
-        res = pathtrace.trace_path_collision(scene, _row_tau_cfg(cfg),
+        res = pathtrace.trace_path_collision(scene, _train_walk_cfg(cfg),
                                              ro_all, rd_all, k_w,
                                              use_nn=True, env_samples=0)
         has = res.query_weight > 0.0

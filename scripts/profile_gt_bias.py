@@ -54,6 +54,13 @@ SIDE = int(os.environ.get("SIDE", 256))
 SPP = int(os.environ.get("SPP", 64))
 DIR_BUCKETS = tuple(int(x) for x in
                     os.environ.get("DIR_BUCKETS", "32,64").split(","))
+# ASPECT=1.7778 reproduces the bench quality view (bench.py renders its
+# quality legs through the scene built at the 16:9 bench camera); 1.0 is
+# the r4 square view. The GT bias is VIEW-DEPENDENT (r5 finding: a
+# lateral sun-side gradient dominates at 16:9), so decompositions must
+# run at the view whose number they explain.
+ASPECT = float(os.environ.get("ASPECT", 1.0))
+MAXB = int(os.environ.get("MAXB", 16))
 
 
 def leg_cfg(base, name):
@@ -90,13 +97,15 @@ def main():
     base = cfg_mod.progressive_1080p_config()
     base = dataclasses.replace(
         base,
-        camera=dataclasses.replace(base.camera, aspect=1.0),
-        render=dataclasses.replace(base.render, width=SIDE, height=SIDE,
-                                   use_nn=False),
+        camera=dataclasses.replace(base.camera, aspect=ASPECT),
+        render=dataclasses.replace(base.render,
+                                   width=int(round(SIDE * ASPECT)),
+                                   height=SIDE, use_nn=False),
         volume=dataclasses.replace(base.volume,
                                    field_dir_buckets=DIR_BUCKETS),
-        # match the r3 bias protocol (profile_bias_knobs): 16 bounces
-        path=dataclasses.replace(base.path, max_bounces=16))
+        # MAXB=16 matches the r3 bias protocol (profile_bias_knobs);
+        # MAXB=32 matches the bench quality legs
+        path=dataclasses.replace(base.path, max_bounces=MAXB))
     density, env = assets.load_cloud(), assets.load_env_map()
 
     legs = os.environ.get("LEGS", "shipped,coll+mc,delta+f,oracle").split(",")

@@ -12,7 +12,7 @@ from neuralradiancecaching_tpu.scene.scene import make_scene
 
 cfg = cfg_mod.progressive_1080p_config()
 scene = make_scene(cfg, assets.load_cloud(), assets.load_env_map())
-tcfg = targets._row_tau_cfg(cfg)
+tcfg = targets._train_walk_cfg(cfg)
 key = jax.random.PRNGKey(7)
 
 @jax.jit

@@ -66,7 +66,7 @@ def main():
     print("scene + state ready", flush=True)
 
     key = jax.random.PRNGKey(7)
-    tcfg = targets._row_tau_cfg(cfg)
+    tcfg = targets._train_walk_cfg(cfg)
 
     # --- live-lane decay of the no-NN target walk (sizes the split) ---
     @jax.jit

@@ -779,7 +779,7 @@ def test_frame_entry_tau_matches_independent_slab_quadrature():
 
 
 def test_frame_entry_tau_zero_when_disabled():
-    """entry_tau_steps=0 (the train-walk setting, targets._row_tau_cfg)
+    """entry_tau_steps=0 (the train-walk setting, targets._train_walk_cfg)
     keeps the row tau: the hoisted bake returns exact zeros."""
     from neuralradiancecaching_tpu.render import tiled
 
