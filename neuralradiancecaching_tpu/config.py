@@ -519,6 +519,30 @@ class PathTraceConfig:
     # vertices, where slot-4 live is 5.07% -- the regime the p1=4 sweep
     # actually validated; applied by targets._train_walk_cfg)
     coll_target_phase1_steps: int = 4
+    # CASCADE split (r5): after `coll_nonn_phase2_steps` slots at the m1
+    # packed lanes, repack the still-live lanes a SECOND time to
+    # `coll_nonn_live2_fraction * n` lanes for the remaining slots (their
+    # events shade at the m2 lanes and return through one scatter-add,
+    # exactly like phase 2). Only active in the prefix-packed-shade no-NN
+    # collision walk (the train-target regime). 0 disables. The target
+    # walk's measured live decay (slot 8: 0.52% of n) sits 3x under the
+    # 1/64 default cap; camera walks keep this OFF (slower decay -- see
+    # the r5 correction note above).
+    coll_nonn_phase2_steps: int = 0
+    coll_nonn_live2_fraction: float = 0.015625
+    # cascade opt-in for the TRAIN TARGET walk (targets._train_walk_cfg
+    # maps it into coll_nonn_phase2_steps): second repack at global slot
+    # coll_target_phase1_steps + coll_target_phase2_steps = 8
+    coll_target_phase2_steps: int = 4
+    # bf16 event rows for the prefix-packed shade stacks: the scan's
+    # stacked (k, lanes, 7) outputs -- the measured dominant step cost
+    # (scripts/profile_march_ops.py) -- are written bf16 and upcast after
+    # the shade pack's gather. Same quantization precedent as the
+    # collect_events bf16 rows (positions land within ~0.3 world units,
+    # < 1/6 of a tau-field voxel). Default OFF; the train-target walk
+    # opts in via coll_target_shade_bf16.
+    coll_shade_bf16: bool = False
+    coll_target_shade_bf16: bool = True
     # the DELTA no-NN walk's own split (binary escape retires lanes
     # naturally -- no weight-RR needed): measured on the real cloud, the
     # 64-slot target walk averages 3.2 events/ray with 1.4% of lanes

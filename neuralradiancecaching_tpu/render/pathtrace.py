@@ -294,7 +294,10 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     # value-identical to casting the stacked (K, N, ...) outputs after the
     # scan (the cast is elementwise), but the scan writes half the bytes
-    ys_bf16 = collect_events and cfg.volume.field_dtype == "bfloat16"
+    # (prefix-shade mode upcasts after the shade pack's gather --
+    # PathTraceConfig.coll_shade_bf16; collect mode ships bf16 rows anyway)
+    ys_bf16 = (collect_events and cfg.volume.field_dtype == "bfloat16") or (
+        not collect_events and pt.coll_shade_cap > 0.0 and pt.coll_shade_bf16)
 
     def step(s: S, u_step):
         u_rr, u_t, u_hg1, u_hg2 = (u_step[0], u_step[1], u_step[2],
@@ -466,9 +469,33 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         sel, sel_valid = compact.compact_select(~s1.done, m1)
         sub = S(*[jnp.take(x, sel, axis=0) for x in s1])
         sub = sub._replace(done=sub.done | ~sel_valid)  # inert padding
-        u2 = jax.random.uniform(jax.random.fold_in(key, 1),
-                                (k_steps - p1, u_dim, m1), dtype=dtype)
-        s2, ys2 = jax.lax.scan(step, sub, u2)
+        k2 = k_steps - p1
+        # cascade split (coll_nonn_phase2_steps): a SECOND repack p2a slots
+        # into phase 2 -- live decay makes most of the m1 lanes dead well
+        # before the walk ends (train-target walks: 0.52% of n live at
+        # global slot 8 vs the m1 cap of 6.25%), so the tail slots run at
+        # m2 = live2_fraction * n lanes. Shading stays prefix-packed per
+        # phase; only active in the no-NN collision prefix-shade regime.
+        p2a = (pt.coll_nonn_phase2_steps
+               if (two_phase and not use_nn and not delta) else 0)
+        cascade = 0 < p2a < k2
+        if cascade:
+            u2a = jax.random.uniform(jax.random.fold_in(key, 1),
+                                     (p2a, u_dim, m1), dtype=dtype)
+            s2a, ys2a = jax.lax.scan(step, sub, u2a)
+            m2 = min(m1, max(1024, int(n * pt.coll_nonn_live2_fraction)))
+            sel2, val2 = compact.compact_select(~s2a.done, m2)
+            sub2 = S(*[jnp.take(x, sel2, axis=0) for x in s2a])
+            sub2 = sub2._replace(done=sub2.done | ~val2)
+            u2b = jax.random.uniform(jax.random.fold_in(key, 2),
+                                     (k2 - p2a, u_dim, m2), dtype=dtype)
+            s2b, ys2b = jax.lax.scan(step, sub2, u2b)
+            s2 = S(*[compact.scatter_update(a, sel2, val2, b)
+                     for a, b in zip(s2a, s2b)])
+        else:
+            u2 = jax.random.uniform(jax.random.fold_in(key, 1),
+                                    (k2, u_dim, m1), dtype=dtype)
+            s2, ys2 = jax.lax.scan(step, sub, u2)
         s_fin = S(*[compact.scatter_update(a, sel, sel_valid, b)
                     for a, b in zip(s1, s2)])
         if two_phase:
@@ -502,8 +529,10 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         counts = jnp.sum((w_rm > 0.0).astype(jnp.int32), axis=1)
         row, slot, val_e = compact.compact_prefix(counts, cap)
         idx = row * k + jnp.minimum(slot, k - 1)
-        rows = jnp.take(packed, idx, axis=0)
-        w_rows = jnp.take(w_rm.reshape(nk), idx)
+        # bf16 stacks (coll_shade_bf16) upcast HERE -- after the pack's
+        # gather, so the gather itself moves half the bytes
+        rows = jnp.take(packed, idx, axis=0).astype(dtype)
+        w_rows = jnp.take(w_rm.reshape(nk), idx).astype(dtype)
         light = trace_scene(scene, cfg, rows[:, 0:3], rows[:, 3:6],
                             shade_key, env_samples)
         contrib = jnp.where(val_e[:, None], w_rows[:, None] * light, 0.0)
@@ -518,8 +547,16 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             # phase-2 events shade at the PACKED m1 lanes; one (m1, 3)
             # scatter-add puts their sums back (sel rows are unique)
             sc1 = prefix_shade(*ys1, n, p1, k_scene)
-            sc2 = prefix_shade(*ys2, m1, k_steps - p1,
-                               jax.random.fold_in(k_scene, 1))
+            if cascade:
+                sc2 = prefix_shade(*ys2a, m1, p2a,
+                                   jax.random.fold_in(k_scene, 1))
+                sc2b = prefix_shade(*ys2b, m2, k2 - p2a,
+                                    jax.random.fold_in(k_scene, 2))
+                sc2b = jnp.where(val2[:, None], sc2b, 0.0)
+                sc2 = sc2.at[sel2].add(sc2b, mode="drop")
+            else:
+                sc2 = prefix_shade(*ys2, m1, k_steps - p1,
+                                   jax.random.fold_in(k_scene, 1))
             sc2 = jnp.where(sel_valid[:, None], sc2, 0.0)
             scattered = sc1.at[sel].add(sc2, mode="drop")
         else:

@@ -62,11 +62,19 @@ def _train_walk_cfg(cfg: NRCConfig) -> NRCConfig:
     * the aggressive p1=4 no-NN march split (coll_target_phase1_steps):
       valid ONLY for interior-start target walks (slot-4 live 5.07% vs
       the 1/16 cap); camera no-NN walks keep the drop-free p1=8 default
-      (coll_nonn_phase1_steps -- see the r5 correction note there)."""
+      (coll_nonn_phase1_steps -- see the r5 correction note there).
+    * the r5 cascade split (coll_target_phase2_steps -> a second repack
+      at global slot p1+p2a, where target-walk live is 0.52% of n vs the
+      1/64 cap -- 3x margin) and bf16 shade-event stacks
+      (coll_target_shade_bf16): both scoped to the TRAIN walks for the
+      same reason as p1=4 -- camera no-NN walks (the ground-truth legs)
+      decay slower and stay on the conservative defaults."""
     p = cfg.path
     p2 = dataclasses.replace(
         p, entry_tau_steps=0,
-        coll_nonn_phase1_steps=p.coll_target_phase1_steps)
+        coll_nonn_phase1_steps=p.coll_target_phase1_steps,
+        coll_nonn_phase2_steps=p.coll_target_phase2_steps,
+        coll_shade_bf16=p.coll_target_shade_bf16)
     if p2 == p:
         return cfg
     return dataclasses.replace(cfg, path=p2)

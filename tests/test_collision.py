@@ -822,3 +822,68 @@ def test_collision_nonn_two_phase_split_parity():
     rel = abs(img_plain.mean() - img_split.mean()) / max(img_plain.mean(),
                                                          1e-6)
     assert rel < 0.1, (img_plain.mean(), img_split.mean())
+
+
+def _nonn_render_mean(base, spp, **path_over):
+    cfg = dataclasses.replace(
+        base, path=dataclasses.replace(
+            base.path, max_bounces=12, coll_weight_rr=1e-4, **path_over))
+    scene = tiny_scene(cfg)
+    ro, rd = pixel_rays(scene.camera, 48, 48)
+    acc = 0.0
+    for i in range(spp):
+        rgb, _ = pathtrace.render_image(scene, cfg, ro, rd,
+                                        jax.random.PRNGKey(500 + i))
+        acc = acc + np.asarray(rgb)
+    assert np.isfinite(acc).all()
+    return acc / spp
+
+
+def test_collision_nonn_cascade_split_parity():
+    """The r5 CASCADE split (coll_nonn_phase2_steps: a second repack p2a
+    slots into phase 2, tail slots at live2_fraction * n lanes, shaded
+    prefix-packed per phase) must match the unsplit walk's render mean --
+    same estimator, different RNG streams, so the gate is statistical
+    like the two-phase parity test above."""
+    base = _coll_config(use_nn=False)
+    base = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera,
+                                         position=(0.0, 0.0, -12.0)))
+    img_plain = _nonn_render_mean(base, 4)
+    img_casc = _nonn_render_mean(base, 4, coll_nonn_phase1_steps=3,
+                                 coll_nonn_live_fraction=0.5,
+                                 coll_nonn_phase2_steps=3,
+                                 coll_nonn_live2_fraction=0.5)
+    rel = abs(img_plain.mean() - img_casc.mean()) / max(img_plain.mean(),
+                                                        1e-6)
+    assert rel < 0.1, (img_plain.mean(), img_casc.mean())
+
+
+def test_collision_shade_bf16_stacks_parity():
+    """coll_shade_bf16 writes the prefix-shade event stacks bf16 (upcast
+    after the pack's gather): same uniforms, same walk -- only the event
+    rows are quantized, so the render mean must track the f32 stacks to
+    bf16 rounding scale."""
+    base = _coll_config(use_nn=False)
+    base = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera,
+                                         position=(0.0, 0.0, -12.0)))
+    img_f32 = _nonn_render_mean(base, 2)
+    img_bf16 = _nonn_render_mean(base, 2, coll_shade_bf16=True)
+    rel = abs(img_f32.mean() - img_bf16.mean()) / max(img_f32.mean(), 1e-6)
+    assert rel < 0.02, (img_f32.mean(), img_bf16.mean())
+
+
+def test_train_walk_cfg_maps_cascade_fields():
+    """targets._train_walk_cfg must scope the aggressive train-walk levers
+    (p1=4, cascade, bf16 stacks) to the TRAIN walk config only."""
+    from neuralradiancecaching_tpu.render.targets import _train_walk_cfg
+    cfg = _coll_config(use_nn=False)
+    tcfg = _train_walk_cfg(cfg)
+    assert tcfg.path.coll_nonn_phase1_steps == cfg.path.coll_target_phase1_steps
+    assert tcfg.path.coll_nonn_phase2_steps == cfg.path.coll_target_phase2_steps
+    assert tcfg.path.coll_shade_bf16 == cfg.path.coll_target_shade_bf16
+    assert tcfg.path.entry_tau_steps == 0
+    # the render-side config itself is untouched
+    assert cfg.path.coll_nonn_phase2_steps == 0
+    assert cfg.path.coll_shade_bf16 is False
