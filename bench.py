@@ -809,6 +809,35 @@ def quality_metrics(cfg, scene, state):
     }
     if qcfg.path.sampler in ("collision", "delta"):
         out.update(cache_quality(qcfg, scene, st))
+        # CADENCE leg (VERDICT r4 item 6): the online loop trains every 4th
+        # frame while the camera orbits 1 deg/frame (the online_fps_moving
+        # regime) -- every number above trains EVERY step at a fixed pose.
+        # Rendering never mutates state, so the cadence loop's state is
+        # exactly "one train step per 4 deg of orbit motion"; the probe
+        # then measures the drifting cache's binned error AT the arrival
+        # pose. Gap vs cache_rel_err_binned = the cost of amortized
+        # training under motion.
+        if os.environ.get("BENCH_QUALITY_CADENCE", "1") != "0":
+            from neuralradiancecaching_tpu.scene import camera as cam_mod
+
+            def orbit_pose(frame):
+                mpos, mdir = cam_mod.orbit_position(frame, 360, radius=64.0)
+                return scene._replace(camera=cam_mod.make_camera(
+                    qcfg.camera, position=mpos, view_dir=mdir))
+
+            every = int(os.environ.get("BENCH_ONLINE_TRAIN_EVERY", 4))
+            st_c = st
+            n_frames = int(os.environ.get("BENCH_QUALITY_CADENCE_FRAMES",
+                                          32))
+            for i in range(n_frames):
+                if i % every == 0:
+                    st_c, _ = frame_mod.train_only_step(
+                        st_c, orbit_pose(i), jax.random.PRNGKey(50000 + i),
+                        cfg)
+            cq = cache_quality(qcfg, orbit_pose(n_frames), st_c)
+            out["cadence_cache_err"] = cq["cache_rel_err_binned"]
+            out["cadence_train_every"] = every
+            _t('quality: cadence cache probe done')
     return out
 
 

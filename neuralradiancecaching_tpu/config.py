@@ -116,6 +116,12 @@ class OptimizerConfig:
     kind: str = "momentum"
     beta2: float = 0.99
     eps: float = 1e-15
+    # exponential lr decay (Adam only -- keyed off the state's opt_step
+    # counter): effective lr = learning_rate * lr_decay_factor ^
+    # (step / lr_decay_steps). 0 disables. Smooth (per-step) rather than
+    # staircase so jitted programs stay step-count-agnostic.
+    lr_decay_steps: int = 0
+    lr_decay_factor: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -145,6 +151,9 @@ class MRHEConfig:
     beta1: float = 0.9
     beta2: float = 0.99
     eps: float = 1e-15
+    # exponential lr decay (Adam only; see OptimizerConfig.lr_decay_steps)
+    lr_decay_steps: int = 0
+    lr_decay_factor: float = 0.5
     n_dims: int = 3  # 3 for volume positions, 2 for image fit
     # inference fast path: levels with res <= dense_max_res are baked into
     # dense corner-packed grids after each optimizer step (1 row gather per

@@ -223,11 +223,20 @@ def apply_grads(state: NRCState, grads, cfg: NRCConfig) -> NRCState:
     if opt_step is not None:
         opt_step = opt_step + 1
 
+    def lr_scale(decay_steps, factor):
+        # exponential lr decay (OptimizerConfig.lr_decay_steps); smooth in
+        # the traced opt_step so the jitted program is step-agnostic
+        if decay_steps <= 0 or opt_step is None:
+            return None
+        return factor ** (opt_step.astype(jnp.float32) / decay_steps)
+
     mlp_second = state.mlp_second
     if cfg.mlp_opt.kind == "adam":
         mlp_params, mlp_momentum, mlp_second = optimizers.adam_step(
             state.mlp_params, state.mlp_momentum, mlp_second, mlp_grads,
-            opt_step, cfg.mlp_opt)
+            opt_step, cfg.mlp_opt,
+            lr_scale=lr_scale(cfg.mlp_opt.lr_decay_steps,
+                              cfg.mlp_opt.lr_decay_factor))
     else:
         mlp_params, mlp_momentum = optimizers.momentum_sgd_step(
             state.mlp_params, state.mlp_momentum, mlp_grads, cfg.mlp_opt)
@@ -243,7 +252,9 @@ def apply_grads(state: NRCState, grads, cfg: NRCConfig) -> NRCState:
             reset_border=cfg.mrhe.reset_border, kind="adam")
         hash_table, hash_momentum, hash_second = optimizers.adam_step(
             state.hash_table, hash_momentum, hash_second, hash_grad,
-            opt_step, hcfg, skip_zero_grad=True)
+            opt_step, hcfg, skip_zero_grad=True,
+            lr_scale=lr_scale(cfg.mrhe.lr_decay_steps,
+                              cfg.mrhe.lr_decay_factor))
     else:
         hash_table = optimizers.hash_sgd_step(state.hash_table, hash_grad,
                                               cfg.mrhe)

@@ -75,6 +75,7 @@ def adam_step(
     step: jnp.ndarray,
     cfg: OptimizerConfig,
     skip_zero_grad: bool = False,
+    lr_scale: jnp.ndarray | None = None,
 ) -> Tuple[PyTree, PyTree, PyTree]:
     """One guarded Adam step (kind='adam').
 
@@ -91,10 +92,16 @@ def adam_step(
 
     ``step`` is the 1-based step counter AFTER this update (callers pass
     the incremented counter) used for bias correction.
+
+    ``lr_scale``: optional traced scalar multiplying the learning rate
+    (the lr-decay schedule, OptimizerConfig.lr_decay_steps -- computed by
+    the caller from the same ``step`` counter; None = 1).
     """
     b1, b2 = cfg.beta1, cfg.beta2
     bc1 = 1.0 - b1 ** step.astype(jnp.float32)
     bc2 = 1.0 - b2 ** step.astype(jnp.float32)
+    lr = (cfg.learning_rate if lr_scale is None
+          else cfg.learning_rate * lr_scale)
 
     def leaf(w, m_i, v_i, g):
         g = -guards.guard_delta(-g, cfg.clip_border)  # NaN->0, clip
@@ -106,7 +113,7 @@ def adam_step(
         m_new = b1 * m_i + (1.0 - b1) * g
         v_new = b2 * v_i + (1.0 - b2) * g * g
         upd = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + cfg.eps)
-        w_new = w - cfg.learning_rate * upd
+        w_new = w - lr * upd
         if skip_zero_grad:
             m_new = jnp.where(touched, m_new, m_i)
             v_new = jnp.where(touched, v_new, v_i)

@@ -137,3 +137,68 @@ def test_adam_nan_grad_contained():
     assert bool(jnp.all(jnp.isfinite(p2["w"])))
     assert bool(jnp.all(jnp.isfinite(m2["w"])))
     assert bool(jnp.all(jnp.isfinite(v2["w"])))
+
+
+def test_adam_lr_scale_scales_update_linearly():
+    """lr_scale multiplies the applied update exactly (moments identical:
+    the schedule touches only the final w -= lr * upd line)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralradiancecaching_tpu.config import OptimizerConfig
+    from neuralradiancecaching_tpu.ops import optimizers
+
+    cfg = OptimizerConfig(kind="adam", learning_rate=0.01, beta1=0.9)
+    key = jax.random.PRNGKey(0)
+    w = {"w": jax.random.normal(key, (16,))}
+    g = {"w": jax.random.normal(jax.random.fold_in(key, 1), (16,))}
+    m, v = optimizers.init_adam(w)
+    step = jnp.asarray(1, jnp.int32)
+
+    w_full, m1, v1 = optimizers.adam_step(w, m, v, g, step, cfg)
+    w_half, m2, v2 = optimizers.adam_step(w, m, v, g, step, cfg,
+                                          lr_scale=jnp.asarray(0.5))
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(m1["w"]), np.asarray(m2["w"]))
+    np.testing.assert_allclose(np.asarray(v1["w"]), np.asarray(v2["w"]))
+    d_full = np.asarray(w_full["w"] - w["w"])
+    d_half = np.asarray(w_half["w"] - w["w"])
+    np.testing.assert_allclose(d_half, 0.5 * d_full, rtol=1e-4)
+
+
+def test_apply_grads_lr_decay_schedule():
+    """lr_decay_steps halves the effective lr every decay_steps steps: at
+    opt_step == decay_steps the applied MLP update is exactly half the
+    undecayed one (exponential schedule, factor^(step/steps))."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuralradiancecaching_tpu import config as cfg_mod
+    from neuralradiancecaching_tpu.models import nrc
+
+    cfg = cfg_mod.nrc_online_config(32, 32)
+    st = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    # put the counter exactly at decay_steps - 1 (apply_grads increments
+    # before use, so the schedule sees step == decay_steps -> factor^1)
+    st = st._replace(opt_step=jnp.asarray(99, st.opt_step.dtype))
+    key = jax.random.PRNGKey(1)
+    pos = jax.random.uniform(key, (64, 3), minval=-20.0, maxval=20.0)
+    d = jax.random.normal(jax.random.fold_in(key, 1), (64, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    target = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2), (64, 3)))
+    grads, _ = nrc.compute_grads(st, pos, d, target, cfg)
+
+    cfg_dec = dataclasses.replace(
+        cfg, mlp_opt=dataclasses.replace(cfg.mlp_opt, lr_decay_steps=100,
+                                         lr_decay_factor=0.5))
+    st_plain = nrc.apply_grads(st, grads, cfg)
+    st_dec = nrc.apply_grads(st, grads, cfg_dec)
+    for name in st.mlp_params:
+        d_plain = np.asarray(st_plain.mlp_params[name]
+                             - st.mlp_params[name])
+        d_dec = np.asarray(st_dec.mlp_params[name] - st.mlp_params[name])
+        np.testing.assert_allclose(d_dec, 0.5 * d_plain, rtol=1e-5,
+                                   atol=1e-12)
