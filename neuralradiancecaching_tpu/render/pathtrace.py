@@ -456,6 +456,25 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
     # net-negative in the r2 A/B, PathTraceConfig.coll_nonn_* comment)
     two_phase = (split and not collect_events
                  and cfg.path.coll_shade_cap > 0.0)
+    # collect-mode split (r5, MEASURED NEGATIVE -- kept gated-off): the
+    # banded renderers defer slot shading to the frame-global finish, so
+    # the r2-measured writeback scatters looked avoidable the same way the
+    # train walk's two_phase avoids them -- shade the PHASE-2 events here
+    # at the packed m1 lanes and ship only the (n, p1) phase-1 slots to
+    # the finish. NN-walk live decay at the bench pose says the lanes are
+    # there ([0.646, 0.291, 0.0685, 0.0080, 0.0005] of packed width:
+    # slots >= 2 are > 93% dead), but the TPU A/B
+    # (scripts/profile_render_split.py, 1080p shipped point) is a LOSS at
+    # every config: no-split 106.6 ms (19.45 Mrays/s) vs p1=2 frac=.125
+    # 122.8 / frac=.25 134.1 / frac=.5 171.5 ms -- the repack + in-band
+    # prefix_shade (which re-gathers density rows the finish's shared
+    # shade would batch) costs more at render scale (518k lanes) than the
+    # dead slot-rows it removes, unlike the 80k-lane train walk where the
+    # same trick won 43.6 -> 34.5 ms. Parity is green
+    # (test_collision_collect_split_banded_parity); render configs keep
+    # coll_phase1_steps=0 so this path never runs in production.
+    collect_split = (split and collect_events
+                     and cfg.path.coll_shade_cap > 0.0)
     u_dim = 4 + 2 * n_null if delta else 4
     if not split:
         u_march = jax.random.uniform(jax.random.fold_in(key, 0),
@@ -498,7 +517,7 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
             s2, ys2 = jax.lax.scan(step, sub, u2)
         s_fin = S(*[compact.scatter_update(a, sel, sel_valid, b)
                     for a, b in zip(s1, s2)])
-        if two_phase:
+        if two_phase or collect_split:
             ys = ys1  # phase-2 events shaded at packed width below
         else:
             back = lambda v, f: jax.vmap(
@@ -540,6 +559,14 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     if collect_events:
         scattered = jnp.zeros((n, 3), dtype=dtype)
+        if collect_split:
+            # phase-2 slots shade HERE at the packed m1 lanes (the finish
+            # only ever sees the (n, p1) phase-1 slots); their per-lane
+            # sums ride the band's rgb output into the finish composite
+            sc2 = prefix_shade(*ys2, m1, k_steps - p1,
+                               jax.random.fold_in(k_scene, 1))
+            sc2 = jnp.where(sel_valid[:, None], sc2, 0.0)
+            scattered = scattered.at[sel].add(sc2, mode="drop")
     elif cfg.path.coll_shade_cap > 0.0:
         # at target-walk scale (64 slots x 8 samples x 10k rays) the dense
         # per-slot shade is the train step's dominant cost; prefix-pack

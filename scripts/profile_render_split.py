@@ -92,15 +92,19 @@ def main():
         return jnp.mean((w > 0).astype(jnp.float32), axis=0)
 
     band_n = BAND * W
-    live = np.mean([np.asarray(decay(scene, ro_f[i * band_n:(i + 1) * band_n],
-                                     rd_f[i * band_n:(i + 1) * band_n],
-                                     et_f[i * band_n:(i + 1) * band_n],
-                                     jax.random.PRNGKey(7 + i)))
-                    for i in range(ro_f.shape[0] // band_n)], axis=0)
+    per_band = np.stack(
+        [np.asarray(decay(scene, ro_f[i * band_n:(i + 1) * band_n],
+                          rd_f[i * band_n:(i + 1) * band_n],
+                          et_f[i * band_n:(i + 1) * band_n],
+                          jax.random.PRNGKey(7 + i)))
+         for i in range(ro_f.shape[0] // band_n)])  # (bands, K)
+    live = per_band.mean(axis=0)
     nval = float(np.asarray(val.sum())) / val.shape[0]
     print(f"# packed lanes {ro_f.shape[0]} (valid frac {nval:.3f})")
     print("# live (event-valid) fraction per slot, of packed width:",
           " ".join(f"{v:.4f}" for v in live))
+    print("# per-band MAX live per slot (split cap must exceed slot p1):",
+          " ".join(f"{v:.4f}" for v in per_band.max(axis=0)))
 
     # --- 2/3. full-frame A/B
     env_rgb = frame_env_color(scene, cfg)

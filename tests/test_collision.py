@@ -887,3 +887,46 @@ def test_train_walk_cfg_maps_cascade_fields():
     # the render-side config itself is untouched
     assert cfg.path.coll_nonn_phase2_steps == 0
     assert cfg.path.coll_shade_bf16 is False
+
+
+def test_collision_collect_split_banded_parity():
+    """The r5 collect-mode march split (banded packed render: phase-2
+    slots shade in-band at the m1 packed lanes, only phase-1 slots reach
+    the deferred finish) must match the unsplit banded render's mean --
+    same estimator, different RNG streams."""
+    import numpy as np
+
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render import frame as frame_mod
+    from neuralradiancecaching_tpu.render import tiled
+
+    base = _coll_config(use_nn=True)
+    base = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera,
+                                         position=(0.0, 0.0, -12.0)))
+
+    def render_mean(p1, frac, spp):
+        cfg = dataclasses.replace(
+            base,
+            path=dataclasses.replace(base.path, coll_phase1_steps=p1,
+                                     coll_live_fraction=frac),
+            render=dataclasses.replace(base.render, width=64, height=64,
+                                       live_pack_fraction=1.0,
+                                       query_cap_fraction=1.0))
+        scene = tiny_scene(cfg)
+        st = nrc.init_state(jax.random.PRNGKey(0), cfg)
+        for i in range(3):
+            st, _ = frame_mod.train_only_step(st, scene,
+                                              jax.random.PRNGKey(i), cfg)
+        acc = 0.0
+        for i in range(spp):
+            img = np.asarray(tiled.render_banded(
+                st, scene, jax.random.PRNGKey(100 + i), cfg, band_rows=16))
+            acc = acc + img
+        assert np.isfinite(acc).all()
+        return acc / spp
+
+    img_off = render_mean(0, 0.0, 3)
+    img_split = render_mean(2, 0.5, 3)
+    rel = abs(img_off.mean() - img_split.mean()) / max(img_off.mean(), 1e-6)
+    assert rel < 0.05, (img_off.mean(), img_split.mean())
