@@ -105,6 +105,24 @@ def main():
         db = tuple(int(x) for x in dir_buckets.split(","))
         cfg = dataclasses.replace(cfg, volume=dataclasses.replace(
             cfg.volume, field_dir_buckets=db))
+    # BENCH_LIVE_TAU A/Bs the live-mask entry-tau threshold (the row-count
+    # lever: every lane whose baked entry tau falls below it drops to the
+    # exact-at-threshold pure-env composite and saves its march + query +
+    # shade rows; RenderConfig.live_tau_threshold). Set BEFORE the probe
+    # key so cap probes re-run at the new mask.
+    live_tau = os.environ.get("BENCH_LIVE_TAU")
+    if live_tau:
+        cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+            cfg.render, live_tau_threshold=float(live_tau)))
+    # BENCH_BLOB_BINS A/Bs the one-blob direction bin count (16 is the
+    # reference's; fewer bins cut the query's transcendental VPU work and
+    # the MLP input width at directional-resolution quality risk -- the
+    # quality legs below are the gate). Changes the MLP architecture, so
+    # it must be set before init_state.
+    blob_bins = os.environ.get("BENCH_BLOB_BINS")
+    if blob_bins:
+        cfg = dataclasses.replace(cfg, oneblob=dataclasses.replace(
+            cfg.oneblob, n_bins=int(blob_bins)))
 
     density = assets.load_cloud()
     env_img = assets.load_env_map()
@@ -176,8 +194,9 @@ def main():
                                                       cfg.volume.box_center)
         tau0 = lightfield.query_tau_field(scene.env_t_field, entry_p, rd,
                                           cfg.volume)
-        live_frac = float(np.asarray((np.asarray(hit_m)
-                                      & (np.asarray(tau0) > 1e-4)).mean()))
+        live_frac = float(np.asarray(
+            (np.asarray(hit_m)
+             & (np.asarray(tau0) > cfg.render.live_tau_threshold)).mean()))
     # NOTE: march_entry_fraction stays at its config default -- the measured
     # A/B found the entry-kill slower at 1080p (see PathTraceConfig); the
     # probe is reported for observability only.

@@ -682,6 +682,17 @@ class RenderConfig:
     # writebacks; this frame-global form shares one pack across the whole
     # frame and writes back once.)
     live_pack_fraction: float = 0.0
+    # live-mask entry-tau threshold: a ray is "live" (marched) when its
+    # baked entry optical depth exceeds this. The baked dir-bucketed tau
+    # field never UNDERestimates (leak audit, docs/PERFORMANCE.md), so a
+    # dropped ray's true tau <= threshold and the per-ray error of the
+    # pure-env composite it gets instead is <= 1 - exp(-threshold) of its
+    # radiance. The default keeps the r3 conservative "any optical depth"
+    # semantics; raising it is a measured row-count lever (every dropped
+    # lane saves march + query + shade rows) gated by the bias probe
+    # (scripts/profile_live_tau.py: exact per-threshold bias from
+    # rendering ONLY the newly-dropped lanes) and the bench GT legs.
+    live_tau_threshold: float = 1e-4
     # deferred-shade event budget: shade at most `shade_cap_fraction * n`
     # scatter events frame-wide (PathTraceConfig.defer_shade). The RR walk
     # yields <= ~1.66 events per scatter-capable ray, so 2.0 is drop-free

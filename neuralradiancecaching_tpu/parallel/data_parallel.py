@@ -513,7 +513,9 @@ def probe_dp_caps(scene: Scene, cfg: NRCConfig, mesh_n: int,
                                                   cfg.volume.box_center)
     tau0 = lightfield.query_tau_field(scene.env_t_field, entry_p, rd_px,
                                       cfg.volume)
-    live = (np.asarray(hit_m) & (np.asarray(tau0) > 1e-4)).astype(np.float64)
+    live = (np.asarray(hit_m)
+            & (np.asarray(tau0) > cfg.render.live_tau_threshold)
+            ).astype(np.float64)
     live_dev = (np.arange(n) // band_n) % mesh_n
     live_frac = (np.bincount(live_dev, weights=live, minlength=mesh_n)
                  / np.maximum(np.bincount(live_dev, minlength=mesh_n), 1.0))

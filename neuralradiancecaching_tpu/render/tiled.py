@@ -202,7 +202,8 @@ def _live_mask_mean(scene: Scene, cfg: NRCConfig) -> jnp.ndarray:
     entry, _, hit = volume_ops.entry_exit_points(ro, rd, vol.box_size,
                                                  vol.box_center)
     tau0 = lightfield.query_tau_field(scene.env_t_field, entry, rd, vol)
-    return jnp.mean((hit & (tau0 > 1e-4)).astype(jnp.float32))
+    return jnp.mean(
+        (hit & (tau0 > cfg.render.live_tau_threshold)).astype(jnp.float32))
 
 
 def live_fraction(scene: Scene, cfg: NRCConfig) -> float:
@@ -243,7 +244,7 @@ def frame_live_pack(scene: Scene, cfg: NRCConfig, band_rows: int = 54,
     entry, _, hit = volume_ops.entry_exit_points(ro, rd, vol.box_size,
                                                  vol.box_center)
     tau0 = lightfield.query_tau_field(scene.env_t_field, entry, rd, vol)
-    live = hit & (tau0 > 1e-4)
+    live = hit & (tau0 > cfg.render.live_tau_threshold)
 
     band_n = band_rows * w
     n_bands_p = max(1, -(-int(n * cfg.render.live_pack_fraction) // band_n))

@@ -44,6 +44,14 @@ VARIANTS = {
                  "lr_decay_factor": 0.5}),
     "anchor_dec": ({"lr_decay_steps": 400, "lr_decay_factor": 0.5},
                    {"lr_decay_steps": 400, "lr_decay_factor": 0.5}),
+    # + the square-scene sweep's other winner: mrhe lr halving (best
+    # single knob at 1000 steps there), combined with the mlp winners
+    "win_half": ({"learning_rate": 0.002, "beta2": 0.995},
+                 {"learning_rate": 0.005, "beta2": 0.995}),
+    "win_half_dec": ({"learning_rate": 0.002, "beta2": 0.995,
+                      "lr_decay_steps": 600, "lr_decay_factor": 0.5},
+                     {"learning_rate": 0.005, "beta2": 0.995,
+                      "lr_decay_steps": 600, "lr_decay_factor": 0.5}),
 }
 
 

@@ -930,3 +930,43 @@ def test_collision_collect_split_banded_parity():
     img_split = render_mean(2, 0.5, 3)
     rel = abs(img_off.mean() - img_split.mean()) / max(img_off.mean(), 1e-6)
     assert rel < 0.05, (img_off.mean(), img_split.mean())
+
+
+def test_live_tau_threshold_drops_to_env():
+    """RenderConfig.live_tau_threshold: a huge threshold drops every lane
+    to the analytic pure-env composite; a tiny one reproduces the default
+    mask bit-exactly (same pack, same RNG streams, identical image)."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.ops import envmap as envmap_ops
+    from neuralradiancecaching_tpu.render.tiled import (live_fraction,
+                                                        render_banded)
+
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -12.0)),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field"),
+        render=dataclasses.replace(cfg.render, live_pack_fraction=1.0))
+    assert pathtrace.shade_deferred(cfg)  # else the pack (and the
+    # threshold) is bypassed and this test checks nothing
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(5)
+
+    base = np.asarray(render_banded(state, scene, k, cfg, band_rows=8))
+
+    cfg_same = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, live_tau_threshold=1e-4))
+    np.testing.assert_array_equal(
+        base, np.asarray(render_banded(state, scene, k, cfg_same,
+                                       band_rows=8)))
+
+    cfg_all = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, live_tau_threshold=1e6))
+    assert live_fraction(scene, cfg_all) == 0.0
+    img_all = np.asarray(render_banded(state, scene, k, cfg_all,
+                                       band_rows=8))
+    _, rd = pixel_rays(scene.camera, 8, 8)
+    env = np.asarray(envmap_ops.sample_direct(scene.env, rd,
+                                              hpm=False)).reshape(8, 8, 3)
+    np.testing.assert_allclose(img_all, env, atol=1e-5)
