@@ -73,11 +73,14 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", 10))
     spp = int(os.environ.get("BENCH_SPP", 1))
     # banded rendering keeps per-band transients bounded; 0 = whole frame.
-    # Measured sweep @1080p (scripts/profile_bands.py): 54-row bands
-    # fastest (1316 ms) vs 108 (1382), 216 (1641), 540 (1760) -- the
-    # compaction argsorts are superlinear and smaller working sets win.
-    default_band = 54 if height % 54 == 0 else (108 if height % 108 == 0
-                                                else 0)
+    # r1 sweep @1080p (scripts/profile_bands.py): 54-row bands beat
+    # 108/216/540 (compaction argsorts were superlinear then). r5 re-A/B
+    # under the PACKED pipeline (profile_live_tau.py): 30-row bands win --
+    # the packed width is rounded UP to whole bands, so finer bands cut
+    # real march/query lanes (518400 -> 460800 at the bench pose's 0.2188
+    # cap; 105.9 -> 98.5 ms/frame, identical estimator).
+    default_band = 30 if height % 30 == 0 else (
+        54 if height % 54 == 0 else (108 if height % 108 == 0 else 0))
     band = int(os.environ.get("BENCH_BAND", default_band)) or None
 
     cfg = cfg_mod.progressive_1080p_config()
@@ -110,7 +113,12 @@ def main():
     # exact-at-threshold pure-env composite and saves its march + query +
     # shade rows; RenderConfig.live_tau_threshold). Set BEFORE the probe
     # key so cap probes re-run at the new mask.
-    live_tau = os.environ.get("BENCH_LIVE_TAU")
+    # r5 measured default 0.02: live 0.1897 -> 0.1642 (-13% march/query/
+    # shade rows; 98.5 -> 90.4 ms/frame at band 30) at a 3.2e-04
+    # frame-relative bias BOUND (profile_live_tau.py) -- two orders under
+    # the 1% north star, and the GT legs below measure the realized bias.
+    # BENCH_LIVE_TAU=1e-4 restores the conservative r3 mask for the A/B.
+    live_tau = os.environ.get("BENCH_LIVE_TAU", "0.02")
     if live_tau:
         cfg = dataclasses.replace(cfg, render=dataclasses.replace(
             cfg.render, live_tau_threshold=float(live_tau)))

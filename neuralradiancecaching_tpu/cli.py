@@ -81,16 +81,19 @@ def _build_scene(cfg):
 
 
 def _band_rows(width: int, height: int, n_dev: int = 1) -> int | None:
-    """Band height for tiled rendering of large frames. 54-row bands
-    measured fastest at 1080p (scripts/profile_bands.py; 27 and 135 within
-    1%, so mesh-divisibility constraints cost little).
+    """Band height for tiled rendering of large frames. 30-row bands
+    measured fastest at 1080p under the packed pipeline (r5,
+    scripts/profile_live_tau.py: the packed width rounds UP to whole
+    bands, so finer bands cut real march/query lanes -- 105.9 -> 98.5
+    ms/frame vs 54 rows; the r1 54-row optimum predates the pack).
 
     With a mesh, dp_render_banded stripes whole bands across devices and
     requires height % (n_dev * rows) == 0 -- candidates are filtered
     accordingly (1080p/8 devices -> 27-row bands; 800px/8 -> 25)."""
     if width * height <= 512 * 512:
         return None
-    for rows in (54, 108, 64, 32, 27, 25, 20, 16, 10, 9, 8, 5, 4, 3, 2, 1):
+    for rows in (30, 54, 108, 64, 32, 27, 25, 20, 16, 10, 9, 8, 5, 4, 3,
+                 2, 1):
         if height % (n_dev * rows) == 0:
             return rows
     return None
