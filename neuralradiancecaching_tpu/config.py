@@ -552,6 +552,27 @@ class PathTraceConfig:
     # opts in via coll_target_shade_bf16.
     coll_shade_bf16: bool = False
     coll_target_shade_bf16: bool = True
+    # per-lane event budget for the PHASE-1 prefix shade alone (0 =
+    # inherit coll_shade_cap). With the march split on, phase 1 has only
+    # p1 slots, so the global cap (4 events/lane) degenerates there:
+    # cap == p1 * lanes means compact_prefix packs NOTHING and
+    # trace_scene shades every slot-row dense (320k rows at the train
+    # walk's 80k lanes where only ~44k events are live -- measured the
+    # dominant train-step cost, scripts/profile_train_decomp.py r5).
+    # Phase 2/cascade shades keep the global cap (their packed lanes run
+    # ~2 live events/lane). Camera no-NN walks (p1=8 > cap) are already
+    # non-degenerate and keep the default.
+    coll_shade_cap_p1: float = 0.0
+    # ... the train-walk opt-in (targets._train_walk_cfg). MEASURED at
+    # the real 80k-lane target batch (interior starting vertices scatter
+    # almost every early slot): phase-1 slot lives [0.933, 0.705, 0.448,
+    # 0.282] = 2.368 events/lane, so the budget must COVER ~2.37 -- the
+    # first try of 1.0 silently dropped 58% of target energy (target mean
+    # 8.41 -> 7.06, /tmp cap probe -> ledger). 2.5 gives 200k rows vs the
+    # mean 189.4k: ~30 sigma of per-frame fluctuation at 80k lanes, no
+    # drops observed, targets bit-exact vs the dense cap -- while cutting
+    # the phase-1 trace_scene from 320k dense rows to 200k (-37%).
+    coll_target_shade_cap_p1: float = 2.5
     # the DELTA no-NN walk's own split (binary escape retires lanes
     # naturally -- no weight-RR needed): measured on the real cloud, the
     # 64-slot target walk averages 3.2 events/ray with 1.4% of lanes

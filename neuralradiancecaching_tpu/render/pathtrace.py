@@ -533,14 +533,18 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
 
     k_scene = jax.random.fold_in(key, k_steps + 1)
 
-    def prefix_shade(e_pos, e_dir, e_w, lanes, k, shade_key):
+    def prefix_shade(e_pos, e_dir, e_w, lanes, k, shade_key,
+                     cap_events=0.0):
         """Prefix-packed shade of step-major (k, lanes, .) events ->
         (lanes, 3) per-lane sums (collision validity is a per-lane prefix:
         a done lane never revives). The cap is a PER-LANE budget
-        (coll_shade_cap events/lane on average); overflow drops the
+        (coll_shade_cap events/lane on average, or `cap_events` when
+        nonzero -- the phase-1 call passes coll_shade_cap_p1 because the
+        global cap is degenerate at k = p1 < cap); overflow drops the
         highest lane indices, deterministically."""
         nk = k * lanes
-        cap = min(nk, max(1024, int(lanes * cfg.path.coll_shade_cap)))
+        per_lane = cap_events or cfg.path.coll_shade_cap
+        cap = min(nk, max(1024, int(lanes * per_lane)))
         w_rm = jnp.swapaxes(e_w, 0, 1)  # (lanes, k); 0 marks invalid
         packed = jnp.swapaxes(
             jnp.concatenate([e_pos, e_dir], axis=-1), 0, 1
@@ -573,7 +577,8 @@ def trace_path_collision(scene: Scene, cfg: NRCConfig, ro: jnp.ndarray,
         if two_phase:
             # phase-2 events shade at the PACKED m1 lanes; one (m1, 3)
             # scatter-add puts their sums back (sel rows are unique)
-            sc1 = prefix_shade(*ys1, n, p1, k_scene)
+            sc1 = prefix_shade(*ys1, n, p1, k_scene,
+                               cap_events=cfg.path.coll_shade_cap_p1)
             if cascade:
                 sc2 = prefix_shade(*ys2a, m1, p2a,
                                    jax.random.fold_in(k_scene, 1))

@@ -74,7 +74,8 @@ def _train_walk_cfg(cfg: NRCConfig) -> NRCConfig:
         p, entry_tau_steps=0,
         coll_nonn_phase1_steps=p.coll_target_phase1_steps,
         coll_nonn_phase2_steps=p.coll_target_phase2_steps,
-        coll_shade_bf16=p.coll_target_shade_bf16)
+        coll_shade_bf16=p.coll_target_shade_bf16,
+        coll_shade_cap_p1=p.coll_target_shade_cap_p1)
     if p2 == p:
         return cfg
     return dataclasses.replace(cfg, path=p2)

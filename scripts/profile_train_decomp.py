@@ -77,8 +77,14 @@ def main():
                                              use_nn=True, env_samples=0)
         has = res.query_weight > 0.0
         n = ro.shape[0] // max(1, cfg.train.vertex_oversample)
-        pos = res.query_pos[:n]
-        d = res.query_dir[:n]
+        # compact-select REAL cut vertices like _collision_train_batch --
+        # the first-n slice previously diluted the measured liveness with
+        # non-cut fallback lanes (slot-0 live read 0.25; the real target
+        # batch measures 0.93, the r5 cap-probe correction)
+        from neuralradiancecaching_tpu.ops import compact
+        sel, _ = compact.compact_select(has, n)
+        pos = jnp.take(res.query_pos, sel, axis=0)
+        d = jnp.take(res.query_dir, sel, axis=0)
         s = cfg.train.target_samples
         pos_t = jnp.tile(pos, (s, 1))
         d_in = jnp.tile(d, (s, 1))
@@ -96,8 +102,11 @@ def main():
     frac = np.asarray(frac)
     print(f"cut fraction {float(cut_frac):.3f}  mean events/lane "
           f"{float(ev_mean):.2f}", flush=True)
+    # (with the r5 collect-mode split active in the train cfg, the event
+    # stack only carries the phase-1 slots -- phase-2 shades in-band)
     for k in [0, 2, 4, 6, 8, 12, 16, 24, 32, 48, 63]:
-        print(f"  slot {k:3d}: live {frac[k]:.4f}", flush=True)
+        if k < frac.shape[0]:
+            print(f"  slot {k:3d}: live {frac[k]:.4f}", flush=True)
 
     # --- phase timings ---
     over = max(1, cfg.train.vertex_oversample)

@@ -241,7 +241,10 @@ def test_march_split_shapes_and_weights_sane():
     res, ev = pathtrace.trace_path_collision(
         scene, cfg, ro, rd, jax.random.PRNGKey(1), use_nn=True,
         collect_events=True)
-    assert ev.shape == (64, cfg.path.coll_max_events, 7)
+    # r5 collect-mode split: phase-2 slots shade in-band (their sums ride
+    # res.scattered), so the event stack carries only the p1 phase-1 slots
+    assert ev.shape == (64, cfg.path.coll_phase1_steps, 7)
+    assert np.isfinite(np.asarray(res.scattered)).all()
     w = np.asarray(ev[..., 6])
     assert (w >= 0).all() and w.max() <= 1.0 + 1e-5 and w.max() > 0
     pos = np.asarray(ev[..., 0:3])
@@ -883,10 +886,12 @@ def test_train_walk_cfg_maps_cascade_fields():
     assert tcfg.path.coll_nonn_phase1_steps == cfg.path.coll_target_phase1_steps
     assert tcfg.path.coll_nonn_phase2_steps == cfg.path.coll_target_phase2_steps
     assert tcfg.path.coll_shade_bf16 == cfg.path.coll_target_shade_bf16
+    assert tcfg.path.coll_shade_cap_p1 == cfg.path.coll_target_shade_cap_p1
     assert tcfg.path.entry_tau_steps == 0
     # the render-side config itself is untouched
     assert cfg.path.coll_nonn_phase2_steps == 0
     assert cfg.path.coll_shade_bf16 is False
+    assert cfg.path.coll_shade_cap_p1 == 0.0
 
 
 def test_collision_collect_split_banded_parity():
@@ -970,3 +975,28 @@ def test_live_tau_threshold_drops_to_env():
     env = np.asarray(envmap_ops.sample_direct(scene.env, rd,
                                               hpm=False)).reshape(8, 8, 3)
     np.testing.assert_allclose(img_all, env, atol=1e-5)
+
+
+def test_shade_cap_p1_covering_is_exact():
+    """coll_shade_cap_p1: any covering per-lane budget must reproduce the
+    inherited-cap targets EXACTLY -- the pack keeps the same prefix order,
+    padding rows contribute zero, so only an overflow drop could differ."""
+    from neuralradiancecaching_tpu.render import targets as targets_mod
+
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -12.0)))
+    scene = tiny_scene(cfg)
+    k = jax.random.PRNGKey(3)
+
+    def batch(cap_p1):
+        c = dataclasses.replace(cfg, path=dataclasses.replace(
+            cfg.path, coll_target_shade_cap_p1=cap_p1))
+        return targets_mod.generate_train_batch(scene, c, k)
+
+    a = batch(0.0)          # inherit coll_shade_cap (4.0, dense at p1=4)
+    b = batch(2.0)          # covering tighter budget
+    np.testing.assert_array_equal(np.asarray(a.target),
+                                  np.asarray(b.target))
+    assert np.isfinite(np.asarray(a.target)).all()
