@@ -131,6 +131,13 @@ def main():
     if blob_bins:
         cfg = dataclasses.replace(cfg, oneblob=dataclasses.replace(
             cfg.oneblob, n_bins=int(blob_bins)))
+    # slot-0 dense shade (RenderConfig.shade_slot0_dense): slot 0 is ~83%
+    # live under the r5 pack, so it shades dense (contiguous slice, no
+    # event-row gather, no segsum) and the pack covers only the tail
+    # slots. BENCH_SLOT0_DENSE=0 restores the all-slots pack A/B leg.
+    if os.environ.get("BENCH_SLOT0_DENSE", "1") != "0":
+        cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+            cfg.render, shade_slot0_dense=True))
 
     density = assets.load_cloud()
     env_img = assets.load_env_map()
@@ -215,19 +222,27 @@ def main():
     if pathtrace.shade_deferred(cfg):
         if "ev_mean" in probes and "k_slots" in probes:
             ev_mean, k_slots = probes["ev_mean"], probes["k_slots"]
+            ev0_mean = probes.get("ev0_mean", 0.0)
         else:
             _, ev = pathtrace.trace_path_collision(
                 scene, cfg, ro[::stride], rd[::stride],
                 jax.random.PRNGKey(98), use_nn=True, collect_events=True)
             ev_mean = float(np.asarray((ev[..., 6] > 0).sum(axis=1).mean()))
+            ev0_mean = float(np.asarray((ev[:, 0, 6] > 0).mean()))
             k_slots = float(ev.shape[1])
+        # slot-0-dense shade (RenderConfig.shade_slot0_dense): the cap
+        # budgets only the packed TAIL slots -- subtract the dense slot-0
+        # mean from the probed total
+        cap_mean = (ev_mean - ev0_mean if cfg.render.shade_slot0_dense
+                    else ev_mean)
         shade_cap = min(k_slots,
-                        float(np.ceil((ev_mean * 1.05 + 0.01) / 0.015625)
+                        float(np.ceil((cap_mean * 1.05 + 0.01) / 0.015625)
                               * 0.015625))
     if os.environ.get("BENCH_PROBE_CACHE", "1") != "0" and "qfrac" not in probes:
         probes.update(qfrac=qfrac, live_frac=live_frac)
         if pathtrace.shade_deferred(cfg):
-            probes.update(ev_mean=ev_mean, k_slots=k_slots)
+            probes.update(ev_mean=ev_mean, k_slots=k_slots,
+                          ev0_mean=ev0_mean)
         _save_probes(probe_cache_path, probe_key, probes)
     _t('cap probes done (cached)' if "qfrac" in probes else 'cap probes done')
     # frame-global live-ray packing: cap from the probed entry-live
@@ -446,8 +461,12 @@ def main():
         else:
             worst = max(live_fraction(orbit_scene(i), cfg)
                         for i in range(0, frames_m, 3))
+            # 1/64 rounding (was 1/16): the cap is probed ONCE and held
+            # for the whole loop, so coarse rounding bought no shape
+            # stability -- only padded lanes (0.25 vs 0.21875 at the r5
+            # orbit = one extra 30-row band every frame)
             pack_m_cap = min(1.0, float(
-                np.ceil((worst * 1.08 + 0.005) / 0.0625) * 0.0625))
+                np.ceil((worst * 1.08 + 0.005) / 0.015625) * 0.015625))
             probes["moving_cap"] = pack_m_cap
             _save_probes(probe_cache_path, probe_key, probes)
         mcfg = dataclasses.replace(cfg, render=dataclasses.replace(

@@ -722,6 +722,18 @@ class RenderConfig:
     # callers that probe (bench.py) can tighten it. Overflow drops are
     # deterministic (highest event slots first).
     shade_cap_fraction: float = 2.0
+    # shade slot 0 DENSE at the lane width and prefix-pack only slots
+    # 1..K-1 (shade_and_query). At the packed pipeline's operating point
+    # slot 0 is ~83% live (live decay [0.646, 0.291, 0.0685, ...] of the
+    # r4 pack, denser still under the r5 tau-0.02 pack), so packing it
+    # buys almost nothing while paying the pack's event-row gather and
+    # segmented sum at full event width; dense slot-0 rows are a
+    # CONTIGUOUS slice (no gather) and sum straight into rgb (no
+    # segsum). With this on, shade_cap_fraction budgets only the packed
+    # TAIL slots (bench probes the tail mean). Same estimator, fp-sum
+    # order differs. Default off (the unpacked/banded paths keep one
+    # code shape); the bench A/Bs it.
+    shade_slot0_dense: bool = False
     # lax.map chunk size for the compacted cache query (shade_and_query /
     # render_image). The query phase is GATHER-OP-COUNT bound (each chunk
     # pays ~16 oct-level gathers regardless of rows; docs/PERFORMANCE.md),
@@ -882,7 +894,16 @@ def progressive_1080p_config() -> "NRCConfig":
                             field_dir_buckets=(32, 64),
                             field_out_buckets=(16, 32)),
         # guarded Adam on MLP + hash table: converged cache error 0.038 vs
-        # 0.235 for the reference's SGD pair (scripts/profile_adam.py)
-        mlp_opt=OptimizerConfig(kind="adam", beta1=0.9),
-        mrhe=MRHEConfig(optimizer="adam"),
+        # 0.235 for the reference's SGD pair (scripts/profile_adam.py).
+        # r5 retune (profile_cache_sweep2.py, bench-anchored protocol):
+        # mlp lr 2e-3 + mrhe lr halved to 5e-3, beta2 0.995 both, smooth
+        # lr halving every 600 steps -- cache_rel_err_binned
+        # 0.0231/0.0509 (anchor, 400/1000 steps) -> 0.0188/0.0074; best
+        # of 5 variants at BOTH checkpoints, and the decay leg is what
+        # takes the 1000-step tail 0.018 -> 0.007.
+        mlp_opt=OptimizerConfig(kind="adam", beta1=0.9,
+                                learning_rate=0.002, beta2=0.995,
+                                lr_decay_steps=600, lr_decay_factor=0.5),
+        mrhe=MRHEConfig(optimizer="adam", learning_rate=0.005, beta2=0.995,
+                        lr_decay_steps=600, lr_decay_factor=0.5),
     )

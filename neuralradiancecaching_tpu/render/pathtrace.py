@@ -976,6 +976,24 @@ def shade_and_query(scene: Scene, cfg: NRCConfig, rgb: jnp.ndarray,
         # even the sorted segment_sum it replaced) -- vs a general
         # n*k-slot compaction + random scatter-add at 1080p scale
         k = events.shape[1]
+        slot0_dense = cfg.render.shade_slot0_dense and k > 1
+        if slot0_dense:
+            # slot 0 (~83% live under the packed pipeline) shades DENSE:
+            # a contiguous slice instead of the pack's event-row gather,
+            # a plain add instead of its segmented sum. Only the tail
+            # slots (1..k-1, ~0.47 events/lane) go through the pack, at
+            # a shade_cap_fraction budgeting just them.
+            rows0 = events[:, 0, :].astype(rgb.dtype)
+            w0 = rows0[:, 6]
+            light0 = trace_scene(scene, cfg, rows0[:, 0:3], rows0[:, 3:6],
+                                 jax.random.PRNGKey(0),
+                                 cfg.env_map.n_samples)
+            # mask BEFORE weighting: empty slots carry zero-filled dirs
+            # that can shade to NaN, and 0 * NaN = NaN
+            rgb = rgb + jnp.where((w0 > 0.0)[:, None],
+                                  w0[:, None] * light0, 0.0)
+            events = events[:, 1:, :]
+            k = k - 1
         flat = events.reshape(n * k, 7)
         w_nk = events[:, :, 6]                              # (n, k)
         counts = jnp.sum((w_nk > 0.0).astype(jnp.int32), axis=1)

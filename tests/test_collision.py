@@ -1000,3 +1000,29 @@ def test_shade_cap_p1_covering_is_exact():
     np.testing.assert_array_equal(np.asarray(a.target),
                                   np.asarray(b.target))
     assert np.isfinite(np.asarray(a.target)).all()
+
+
+def test_shade_slot0_dense_matches_packed():
+    """RenderConfig.shade_slot0_dense: dense slot-0 + packed-tail shade
+    must equal the all-slots packed shade up to fp-sum order (identical
+    events, identical estimator)."""
+    from neuralradiancecaching_tpu.models import nrc
+    from neuralradiancecaching_tpu.render.tiled import render_banded
+
+    cfg = _coll_config(use_nn=True)
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, position=(0.0, 0.0, -12.0)),
+        env_map=dataclasses.replace(cfg.env_map, in_scatter_mode="field"),
+        render=dataclasses.replace(cfg.render, live_pack_fraction=1.0))
+    assert pathtrace.shade_deferred(cfg)
+    scene = tiny_scene(cfg)
+    state = nrc.init_state(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(5)
+
+    a = np.asarray(render_banded(state, scene, k, cfg, band_rows=8))
+    cfg_d = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, shade_slot0_dense=True))
+    b = np.asarray(render_banded(state, scene, k, cfg_d, band_rows=8))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
