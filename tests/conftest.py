@@ -30,3 +30,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache for the suite (machine-fingerprinted CPU
+# dir, utils/runtime.py): XLA:CPU segfaulted reproducibly (3/3 full-suite
+# runs, r5) compiling test_render_nrc's in-program-spp banded render
+# AFTER ~150 in-process compiles -- the same program compiles fine in
+# isolation, so warming it into the cache makes the fragile compile a
+# cache hit on subsequent full-suite runs.
+from neuralradiancecaching_tpu.utils import setup_cache  # noqa: E402
+
+setup_cache()
